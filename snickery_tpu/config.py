@@ -1,0 +1,163 @@
+"""Config system.
+
+The reference drives every CLI with ``-c CONFIG`` where CONFIG is a
+Python-syntax ``.cfg`` file exec'd into a namespace (SURVEY.md §5.6,
+reference config/*.cfg — unverified, mount empty).  That key vocabulary is the
+de-facto public API, so we keep it verbatim and add TPU-specific knobs under
+the same flat namespace.  Configs may be ``.cfg``/``.py`` (exec'd, like the
+reference) or ``.json``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class SnickeryConfig:
+    # ---- data locations (reference key vocabulary) ----
+    workdir: str = "work"
+    wav_datadir: str = ""
+    pm_datadir: str = ""            # pitchmark (.pm EST) files
+    lab_datadir: str = ""           # HTS label files (halfphone mode)
+    feat_datadir: str = ""          # root dir holding one subdir per stream
+    test_data_dir: str = ""         # natural-target test features
+    test_patterns: list[str] = field(default_factory=list)
+    n_train_utts: int = 0           # 0 = all
+
+    # ---- streams / dims ----
+    stream_list: list[str] = field(default_factory=lambda: ["mag", "lf0"])
+    datadims: dict[str, int] = field(default_factory=lambda: {"mag": 60, "lf0": 1})
+    sample_rate: int = 16000
+
+    # ---- unit type ----
+    target_representation: str = "epoch"   # "epoch" | "halfphone"
+    multiepoch: int = 1                     # units span k epochs (k>=1)
+
+    # ---- selection ----
+    n_candidates: int = 30
+    preselection_method: str = "acoustic"   # "acoustic" | "quinphone"
+    target_stream_weights: list[float] = field(default_factory=lambda: [1.0, 1.0])
+    join_stream_weights: list[float] = field(default_factory=lambda: [1.0, 1.0])
+    join_cost_weight: float = 1.0
+    join_cost_type: str = "natural"         # natural join contexts
+    search_epsilon: float = 0.0             # beam/epsilon pruning (0 = exact)
+    greedy_search: bool = False             # greedy online selection variant
+    magphase_use_target_f0: bool = True
+    magphase_overlap: int = 0
+
+    # ---- waveform generation ----
+    taper_length: int = 50                  # samples of Hann taper for OLA joins
+    preload_all_waves: bool = True
+
+    # ---- silence / trimming ----
+    trim_silence: bool = False
+    silence_symbols: list[str] = field(default_factory=lambda: ["pau", "sil", "#"])
+
+    # ---- TPU-specific (new in this framework) ----
+    dtype: str = "float32"                  # compute dtype on device
+    length_buckets: list[int] = field(default_factory=lambda: [128, 256, 512, 1024, 2048])
+    db_pad_multiple: int = 512              # pad DB rows to a multiple of this
+    synth_batch: int = 1                    # utterances synthesised per device step
+    mesh_data: int = 1                      # data-parallel axis size
+    mesh_db: int = 1                        # unit-DB shard axis size
+    use_pallas: bool = True                 # pallas preselect kernel (else XLA top_k)
+    viterbi_block: int = 0                  # 0 = auto candidate tiling in scan
+
+    # ---- misc ----
+    voice_name: str = "voice"
+    output_dir: str = ""
+
+    def __post_init__(self) -> None:
+        if self.target_representation not in ("epoch", "halfphone"):
+            raise ValueError(f"unknown target_representation {self.target_representation!r}")
+        if self.multiepoch < 1:
+            raise ValueError("multiepoch must be >= 1")
+        if self.n_candidates < 1:
+            raise ValueError("n_candidates must be >= 1")
+        # Broadcast scalar weights across streams.
+        ns = len(self.stream_list)
+        for attr in ("target_stream_weights", "join_stream_weights"):
+            w = getattr(self, attr)
+            if isinstance(w, (int, float)):
+                w = [float(w)] * ns
+            if len(w) == 1 and ns > 1:
+                w = list(w) * ns
+            if len(w) != ns:
+                raise ValueError(f"{attr} has {len(w)} entries for {ns} streams")
+            setattr(self, attr, [float(x) for x in w])
+
+    # -- derived --
+    @property
+    def target_dim(self) -> int:
+        return sum(self.datadims[s] for s in self.stream_list)
+
+    @property
+    def stream_slices(self) -> list[tuple[str, int, int]]:
+        """(stream, start, stop) column ranges inside the stacked feature matrix."""
+        out, off = [], 0
+        for s in self.stream_list:
+            d = self.datadims[s]
+            out.append((s, off, off + d))
+            off += d
+        return out
+
+    @property
+    def db_path(self) -> str:
+        return os.path.join(self.workdir, f"{self.voice_name}.voicedb")
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+_CONFIG_KEYS = {f.name for f in dataclasses.fields(SnickeryConfig)}
+
+# Accepted legacy aliases from the reference vocabulary (unverified spellings).
+_ALIASES = {
+    "wave_datadir": "wav_datadir",
+    "n_candidates_per_unit": "n_candidates",
+    "output_dirname": "output_dir",
+}
+
+
+def config_from_dict(raw: dict[str, Any], strict: bool = False) -> SnickeryConfig:
+    known: dict[str, Any] = {}
+    unknown: list[str] = []
+    for k, v in raw.items():
+        if k.startswith("_"):
+            continue
+        k = _ALIASES.get(k, k)
+        if k in _CONFIG_KEYS:
+            known[k] = v
+        elif not callable(v) and not isinstance(v, type(os)):
+            unknown.append(k)
+    if unknown and strict:
+        raise KeyError(f"unknown config keys: {unknown}")
+    cfg = SnickeryConfig(**known)
+    # Keep unknown keys around for forward-compat introspection.
+    cfg._extra = {k: raw[k] for k in unknown}  # type: ignore[attr-defined]
+    return cfg
+
+
+def load_config(path: str, strict: bool = False) -> SnickeryConfig:
+    """Load a config file.
+
+    ``.json`` files are parsed as JSON; anything else is exec'd as Python with
+    ``os`` and ``path`` in scope (matching the reference's exec'd ``.cfg``
+    style, so reference-era configs port over by renaming keys only where the
+    vocabulary genuinely differs).
+    """
+    if path.endswith(".json"):
+        with open(path) as f:
+            raw = json.load(f)
+    else:
+        ns: dict[str, Any] = {"os": os, "path": os.path.dirname(os.path.abspath(path))}
+        with open(path) as f:
+            code = f.read()
+        exec(compile(code, path, "exec"), ns)
+        raw = ns
+    return config_from_dict(raw, strict=strict)

@@ -1,0 +1,33 @@
+"""Constants shared across the pipeline.
+
+Mirrors the *role* of the reference's script/const.py (unverified — reference
+mount empty; see SURVEY.md §2 row 7): big-penalty sentinels, label field
+layout, default stream names.
+"""
+
+# Large-but-finite penalty used to mask out invalid lattice transitions /
+# padded candidates.  Finite (not inf) so Viterbi argmin tie-breaking stays
+# well-defined in f32 and XLA does not propagate NaNs through min-reductions.
+BIG_PENALTY = 1.0e10
+
+# Padded / invalid unit id sentinel in candidate matrices.
+PAD_UNIT = -1
+
+# Stream names used by the magphase-style feature family
+# (reference README: mag/real/imag/lf0 epoch-synchronous streams).
+MAGPHASE_STREAMS = ("mag", "real", "imag", "lf0")
+
+# Halfphone naming: each phone contributes a left half ("<phone>_L") and a
+# right half ("<phone>_R").
+HALFPHONE_TAGS = ("L", "R")
+
+# Unvoiced lf0 sentinel on the linear-Hz scale before interpolation.
+UNVOICED_LF0 = -1.0e10
+
+# Default sample rate (Hz) — reference voices are 16 kHz or 48 kHz.
+DEFAULT_SAMPLE_RATE = 16000
+
+# Join context: how the trainer summarises each unit's edges for join costs.
+# "first"/"last" frame of each unit's feature trajectory (reference behaviour
+# per SURVEY.md §2 row 1).
+JOIN_CONTEXT_FRAMES = 1

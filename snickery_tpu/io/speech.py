@@ -1,0 +1,56 @@
+"""Speech stream and wav I/O.
+
+Role-equivalent of the reference's script/speech_manip.py
+(get_speech/put_speech/read_wave/write_wave — SURVEY.md §2 row 6; unverified,
+mount empty).  Stream files are headerless little-endian float32 with a known
+feature dimension — the interchange format of the HTS/Merlin ecosystem.
+
+Wav I/O uses scipy.io.wavfile (no soundfile in this environment); all audio is
+normalised to float32 in [-1, 1] in memory and written as 16-bit PCM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.io import wavfile
+
+
+def get_speech(path: str, dim: int, dtype=np.float32) -> np.ndarray:
+    """Read a headerless float stream file -> (frames, dim) array."""
+    data = np.fromfile(path, dtype="<f4")
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    if data.size % dim != 0:
+        raise ValueError(
+            f"{path}: {data.size} floats not divisible by dim={dim}"
+        )
+    return data.reshape(-1, dim).astype(dtype, copy=False)
+
+
+def put_speech(data: np.ndarray, path: str) -> None:
+    """Write (frames, dim) or (frames,) floats as a headerless stream file."""
+    np.asarray(data, dtype="<f4").tofile(path)
+
+
+def read_wave(path: str) -> tuple[np.ndarray, int]:
+    """Read wav -> (float32 samples in [-1, 1], sample_rate)."""
+    sr, data = wavfile.read(path)
+    if data.ndim > 1:                       # downmix multi-channel
+        data = data.mean(axis=1)
+    if data.dtype == np.int16:
+        wave = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        wave = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        wave = (data.astype(np.float32) - 128.0) / 128.0
+    else:                                    # already float
+        wave = data.astype(np.float32)
+    return wave, int(sr)
+
+
+def write_wave(wave: np.ndarray, path: str, sample_rate: int) -> None:
+    """Write float samples in [-1, 1] as 16-bit PCM wav."""
+    wave = np.asarray(wave, dtype=np.float32)
+    clipped = np.clip(wave, -1.0, 1.0)
+    pcm = (clipped * 32767.0).astype(np.int16)
+    wavfile.write(path, int(sample_rate), pcm)
