@@ -41,8 +41,8 @@ class SnickeryConfig:
     # ---- selection ----
     n_candidates: int = 30
     preselection_method: str = "acoustic"   # "acoustic" | "quinphone"
-    target_stream_weights: list[float] = field(default_factory=lambda: [1.0, 1.0])
-    join_stream_weights: list[float] = field(default_factory=lambda: [1.0, 1.0])
+    target_stream_weights: list[float] = field(default_factory=lambda: [1.0])
+    join_stream_weights: list[float] = field(default_factory=lambda: [1.0])
     join_cost_weight: float = 1.0
     join_cost_type: str = "natural"         # natural join contexts
     search_epsilon: float = 0.0             # beam/epsilon pruning (0 = exact)

@@ -1,0 +1,314 @@
+"""Synthesiser: the runtime core.
+
+Role-equivalent of the reference's ``class Synthesiser`` in
+script/synth_halfphone.py (SURVEY.md §2 row 2, §3.2; unverified, mount
+empty): load voice DB -> preselect -> Viterbi -> concatenate -> wav.
+
+TPU-first design: the whole per-utterance pipeline
+(preselect top-k over the DB, candidate gather, target costs, Viterbi scan,
+cutpoint gather, crossfade OLA) is ONE jitted program per (T-bucket) shape,
+compiled once and reused.  Utterances are padded to a small set of length
+buckets (SURVEY.md §7 hard part (c)); batching is a vmap over the utterance
+axis.  The unit DB lives on device permanently (HBM resident).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snickery_tpu import utils
+from snickery_tpu.config import SnickeryConfig
+from snickery_tpu.const import BIG_PENALTY
+from snickery_tpu.ops.ola import overlap_add_units
+from snickery_tpu.ops.topk import topk_preselect, quinphone_penalties
+from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
+from snickery_tpu.voicedb.db import VoiceDB
+
+logger = utils.logger
+
+
+def _stream_weight_vector(cfg: SnickeryConfig, weights: list[float]) -> np.ndarray:
+    """Per-dimension weight vector (d,) from per-stream weights."""
+    out = np.zeros(cfg.target_dim, np.float32)
+    for (name, a, b), w in zip(cfg.stream_slices, weights):
+        out[a:b] = w
+    return out
+
+
+class Synthesiser:
+    """Loads a VoiceDB and synthesises utterances on TPU.
+
+    Mirrors the reference Synthesiser's lifecycle: heavy setup in
+    ``__init__`` (device upload replacing the KD-tree build), then cheap
+    per-utterance ``synth_utt``/``synth_batch`` calls.
+    """
+
+    def __init__(self, cfg: SnickeryConfig, db: VoiceDB | None = None):
+        self.cfg = cfg
+        self.timer = utils.StageTimer()
+        with self.timer.stage("load_db"):
+            self.db = db if db is not None else VoiceDB.load(cfg.db_path)
+        db = self.db
+        if db.target_representation != cfg.target_representation:
+            logger.warning(
+                "config target_representation=%s but DB is %s; using DB's",
+                cfg.target_representation, db.target_representation)
+        self.frames_per_unit = 3 if db.target_representation == "halfphone" else db.multiepoch
+
+        with self.timer.stage("prepare_db"):
+            self._prepare_device_db()
+
+    # ------------------------------------------------------------------ setup
+    def _prepare_device_db(self) -> None:
+        cfg, db = self.cfg, self.db
+        d = cfg.target_dim
+        k = self.frames_per_unit
+
+        # per-dim weights; target features stack k frames -> tile weights
+        w_t = np.tile(_stream_weight_vector(cfg, cfg.target_stream_weights), k)
+        w_j = _stream_weight_vector(cfg, cfg.join_stream_weights)
+        if db.target_dim != k * d:
+            raise ValueError(
+                f"DB target dim {db.target_dim} != frames_per_unit {k} * stream dim {d}")
+        self._sqrt_wt = np.sqrt(w_t).astype(np.float32)
+        self._sqrt_wj = np.sqrt(w_j).astype(np.float32)
+
+        m = db.n_units
+        self.chunk = 8192 if m >= 8192 else utils.next_multiple(m, 512)
+        mp = utils.next_multiple(m, self.chunk)
+        self.n_units = m
+        self.n_units_padded = mp
+
+        feats, _ = db.padded_features(self.chunk)
+        feats = feats * self._sqrt_wt[None, :]
+        jl, jr = db.normalised_joins()
+        jl = (jl * self._sqrt_wj[None, :]).astype(np.float32)
+        jr = (jr * self._sqrt_wj[None, :]).astype(np.float32)
+        pad = ((0, mp - m), (0, 0))
+        jl = np.pad(jl, pad)
+        jr = np.pad(jr, pad)
+        cuts = np.pad(db.cutpoints.astype(np.int32), ((0, mp - m), (0, 0)))
+
+        dev = jax.devices()[0]
+        put = functools.partial(jax.device_put, device=dev)
+        self.d_feats = put(feats)
+        self.d_jl = put(jl)
+        self.d_jr = put(jr)
+        self.d_cut1 = put(np.ascontiguousarray(cuts[:, 1]))
+        self.d_cut2 = put(np.ascontiguousarray(cuts[:, 2]))
+        self.d_waves = put(np.asarray(db.waves, np.float32))
+        self.d_mean_t = put(db.mean_target.astype(np.float32))
+        self.d_std_t = put(db.std_target.astype(np.float32))
+        self.d_lf0 = put(np.pad(db.unit_lf0.astype(np.float32), ((0, mp - m), (0, 0))))
+        if db.target_representation == "halfphone":
+            self.d_codes = put(np.pad(db.unit_code.astype(np.int32), (0, mp - m),
+                                      constant_values=-1))
+            self.d_ctx = put(np.pad(db.context_codes.astype(np.int32),
+                                    ((0, mp - m), (0, 0)), constant_values=-1))
+        # static OLA geometry
+        spans = (db.cutpoints[:, 2] - db.cutpoints[:, 1]).astype(np.int64)
+        self.max_span = int(spans.max()) if len(spans) else 1
+        self.max_frag = utils.next_multiple(self.max_span + 2 * cfg.taper_length, 128)
+        self._unit_vocab = {n: i for i, n in enumerate(db.unit_names)}
+        self._phone_vocab = {n: i for i, n in enumerate(db.phone_names)}
+        # one compiled pipeline per T-bucket
+        self._compiled: dict[tuple, object] = {}
+
+    # ------------------------------------------------------- target assembly
+    def targets_from_features(self, features: np.ndarray) -> tuple[np.ndarray, int]:
+        """Group an epoch-rate feature trajectory (T_epochs, d) into unit-rate
+        target vectors (T_units, k*d) matching the DB unit features.
+
+        The unit grid starts at centre epoch 1 and ends at E-2 (voicedb/build
+        cuts units with one epoch of context each side), so the target grid
+        does the same — a natural target then selects the natural unit
+        sequence exactly.
+        """
+        k = self.frames_per_unit
+        d = self.cfg.target_dim
+        if features.shape[1] != d:
+            raise ValueError(f"feature dim {features.shape[1]} != {d}")
+        usable = features[1: len(features) - 1]
+        t_units = len(usable) // k
+        if t_units == 0:
+            raise ValueError("utterance shorter than one unit")
+        return usable[: t_units * k].reshape(t_units, k * d).astype(np.float32), t_units
+
+    # --------------------------------------------------------------- pipeline
+    def _get_pipeline(self, t_bucket: int, n_cand: int, greedy: bool):
+        key = (t_bucket, n_cand, greedy)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        cfg = self.cfg
+        out_len = t_bucket * self.max_span + 2 * cfg.taper_length
+        out_len = utils.next_multiple(out_len, 128)
+        taper = cfg.taper_length
+        max_frag = self.max_frag
+        halfphone = self.db.target_representation == "halfphone"
+
+        @functools.partial(jax.jit, static_argnames=())
+        def pipeline(targets, length, tgt_codes, tgt_ctx):
+            # targets: (T, k*d) raw unit-rate target features; length: scalar
+            T = targets.shape[0]
+            tnorm = (targets - self.d_mean_t[None, :]) / self.d_std_t[None, :]
+            tw = tnorm * jnp.asarray(self._sqrt_wt)[None, :]
+            t_idx = jnp.arange(T, dtype=jnp.int32)
+            live = t_idx < length
+            tw = jnp.where(live[:, None], tw, 0.0)
+
+            extra = None
+            if halfphone:
+                extra = quinphone_penalties(
+                    tgt_codes, tgt_ctx, self.d_codes, self.d_ctx)
+            cand_idx, scores = topk_preselect(
+                tw, self.d_feats, k=n_cand, chunk=self.chunk, extra_scores=extra)
+            # scores dropped ||t||^2 (and include linguistic penalties); true
+            # squared acoustic distance needs the target norm added back.
+            tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
+            if halfphone:
+                # recover acoustic part: penalties are >= 0 and quantised in
+                # units of 100; acoustic distance is what remains mod that.
+                # Simpler: recompute exact distances for the k candidates.
+                cand_feats = self.d_feats[cand_idx]                     # (T,N,D)
+                diff = cand_feats - tw[:, None, :]
+                target_costs = jnp.sqrt(jnp.maximum(
+                    jnp.sum(diff * diff, axis=-1), 0.0))
+            else:
+                target_costs = jnp.sqrt(jnp.maximum(scores + tsq, 0.0))
+            target_costs = jnp.where(live[:, None], target_costs, 0.0)
+
+            jl_cand = self.d_jl[cand_idx]                               # (T,N,dj)
+            jr_cand = self.d_jr[cand_idx]
+            decode = greedy_decode if greedy else viterbi_decode
+            path, total_cost = decode(
+                target_costs, jl_cand, jr_cand,
+                join_cost_weight=cfg.join_cost_weight,
+                **({} if greedy else {"search_epsilon": cfg.search_epsilon}),
+                length=length,
+            )
+            unit_ids = jnp.take_along_axis(cand_idx, path[:, None], axis=1)[:, 0]
+            unit_ids = jnp.where(live, unit_ids, 0)
+
+            audio, total_samples = overlap_add_units(
+                self.d_waves,
+                self.d_cut1[unit_ids], self.d_cut2[unit_ids],
+                n_units=length,
+                max_frag=max_frag, out_len=out_len, taper=taper,
+            )
+            return unit_ids, total_cost, audio, total_samples
+
+        self._compiled[key] = pipeline
+        return pipeline
+
+    # ----------------------------------------------------------------- public
+    def synth_from_features(
+        self,
+        features: np.ndarray,
+        greedy: bool | None = None,
+        target_segments: list | None = None,
+    ) -> dict:
+        """Synthesise one utterance from an epoch-rate target trajectory.
+
+        Returns dict(wave, unit_ids, total_cost, n_units).
+        ``target_segments`` (halfphone mode): list of HalfphoneSegment giving
+        the unit names/contexts of the target — in that mode ``features``
+        must already be at unit rate (T_units, 3*d) via
+        ``halfphone_targets_from_features``.
+        """
+        cfg = self.cfg
+        greedy = cfg.greedy_search if greedy is None else greedy
+        halfphone = self.db.target_representation == "halfphone"
+
+        if halfphone:
+            if target_segments is None:
+                raise ValueError("halfphone mode needs target_segments")
+            tgt_units = np.asarray(features, np.float32)
+            t_units = len(tgt_units)
+            codes = np.asarray(
+                [self._unit_vocab.get(s.name, -1) for s in target_segments], np.int32)
+            ctx = np.asarray(
+                [[self._phone_vocab.get(p, 0) for p in s.quinphone]
+                 for s in target_segments], np.int32)
+        else:
+            tgt_units, t_units = self.targets_from_features(features)
+            codes = np.zeros(t_units, np.int32)
+            ctx = np.zeros((t_units, 5), np.int32)
+
+        t_bucket = utils.bucket_length(t_units, tuple(cfg.length_buckets))
+        pad = t_bucket - t_units
+        tgt_pad = np.pad(tgt_units, ((0, pad), (0, 0)))
+        codes = np.pad(codes, (0, pad), constant_values=-1)
+        ctx = np.pad(ctx, ((0, pad), (0, 0)), constant_values=-1)
+
+        n_cand = min(cfg.n_candidates, self.n_units_padded)
+        pipeline = self._get_pipeline(t_bucket, n_cand, greedy)
+        with self.timer.stage("synth_step"):
+            unit_ids, total_cost, audio, total_samples = pipeline(
+                jnp.asarray(tgt_pad), jnp.int32(t_units),
+                jnp.asarray(codes), jnp.asarray(ctx))
+            unit_ids, total_cost, audio, total_samples = jax.device_get(
+                (unit_ids, total_cost, audio, total_samples))
+        return {
+            "wave": np.asarray(audio[: int(total_samples)]),
+            "unit_ids": np.asarray(unit_ids[:t_units]),
+            "total_cost": float(total_cost),
+            "n_units": int(t_units),
+        }
+
+    def halfphone_targets_from_features(
+        self, features: np.ndarray, epochs: np.ndarray, segments: list
+    ) -> tuple[np.ndarray, list]:
+        """Build unit-rate halfphone targets ([first, mid, last] frames) from
+        an epoch-rate trajectory + the target's halfphone segmentation."""
+        from snickery_tpu.voicedb.build import _snap_to_epochs
+        from snickery_tpu.io.labels import segments_to_sample_bounds
+
+        E = len(features)
+        bounds = segments_to_sample_bounds(segments, self.cfg.sample_rate)
+        rows, kept = [], []
+        for seg, (s0, s1) in zip(segments, bounds):
+            e0 = int(_snap_to_epochs(np.array([s0]), epochs)[0])
+            e1 = int(_snap_to_epochs(np.array([s1]), epochs)[0])
+            e0 = max(e0, 1)
+            e1 = min(max(e1 - 1, e0), E - 2)
+            if e1 < e0:
+                continue
+            mid = (e0 + e1) // 2
+            rows.append(np.concatenate([features[e0], features[mid], features[e1]]))
+            kept.append(seg)
+        return np.asarray(rows, np.float32), kept
+
+    def selected_features(self, unit_ids: np.ndarray) -> np.ndarray:
+        """Epoch-rate feature trajectory of the selected units (for magphase
+        resynthesis / inspection): (n_units * k, d)."""
+        k = self.frames_per_unit
+        d = self.cfg.target_dim
+        feats = np.asarray(self.db.unit_features[np.asarray(unit_ids)])
+        return feats.reshape(len(unit_ids) * k, d)
+
+    def resynth_magphase(self, unit_ids: np.ndarray, target_lf0: np.ndarray | None = None) -> np.ndarray:
+        """Magphase resynthesis path (reference's magphase output mode with
+        optional target-F0 imposition, SURVEY.md §2 row 5)."""
+        from snickery_tpu.features.magphase import magphase_synthesis
+
+        cfg = self.cfg
+        traj = self.selected_features(unit_ids)
+        streams = {}
+        for name, a, b in cfg.stream_slices:
+            streams[name] = traj[:, a:b]
+        for required in ("mag", "real", "imag"):
+            if required not in streams:
+                raise ValueError("magphase resynthesis needs mag/real/imag streams")
+        if "lf0" not in streams:
+            streams["lf0"] = np.asarray(
+                self.db.unit_lf0[np.asarray(unit_ids)]).reshape(-1, 1)
+        use_tgt = cfg.magphase_use_target_f0 and target_lf0 is not None
+        return magphase_synthesis(
+            streams, cfg.sample_rate,
+            target_lf0=(np.asarray(target_lf0).reshape(-1) if use_tgt else None),
+        )

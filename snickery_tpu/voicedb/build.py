@@ -1,0 +1,211 @@
+"""Voice building: cut utterances into units and assemble the VoiceDB.
+
+Role-equivalent of the reference's script/train_halfphone.py main loop
+(SURVEY.md §3.1; unverified, mount empty): read wav + pitchmarks (+ labels),
+align epoch-rate features, cut units, record join contexts and waveform
+cutpoints, normalise, serialise.
+
+Unit semantics (design decisions, documented because the reference could not
+be consulted):
+
+- *Epoch mode* with ``multiepoch=k``: unit j covers k consecutive centre
+  epochs; its waveform fragment spans one extra pitch period on each side
+  (``[t[first-1], t[last+1]]``) so synthesis can taper and overlap-add.
+- *Join contexts overlap*: ``join_left`` is the feature frame of the unit's
+  first centre epoch; ``join_right`` is the frame of the epoch **after** its
+  last centre epoch.  Natural successors therefore have join cost exactly 0
+  (right context of unit u == left context of the unit that follows it in the
+  corpus), giving the lattice a true zero-cost path through contiguous
+  natural speech.
+- *Halfphone mode*: units are label-derived halfphones snapped to the epoch
+  grid; target features are the stacked [first, mid, last] epoch frames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from snickery_tpu import utils
+from snickery_tpu.config import SnickeryConfig
+from snickery_tpu.voicedb.db import VoiceDB
+
+logger = utils.logger
+
+
+@dataclass
+class UtteranceData:
+    """Everything the cutter needs for one utterance."""
+    basename: str
+    wave: np.ndarray                 # (n_samples,) float32
+    epochs: np.ndarray               # (E,) int32 sample positions, sorted
+    features: np.ndarray             # (E, d) epoch-aligned stacked streams
+    lf0: np.ndarray                  # (E,) float32 log-f0 per epoch
+    halfphones: list | None = None   # list[HalfphoneSegment] in halfphone mode
+
+
+def _epoch_units(
+    utt: UtteranceData, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Cut one utterance into multiepoch units.
+
+    Returns (target_feats (n,k*d), join_left (n,d), join_right (n,d),
+    cutpoints (n,3), lf0 (n,k)).
+    """
+    E, d = utt.features.shape
+    # centre epochs need a predecessor and successor epoch for the fragment,
+    # and join_right needs one epoch beyond the last centre.
+    first_centre = 1
+    last_centre = E - 2                      # inclusive
+    n = (last_centre - first_centre + 1) // k
+    if n <= 0:
+        z = np.zeros
+        return (z((0, k * d), np.float32), z((0, d), np.float32),
+                z((0, d), np.float32), z((0, 3), np.int64), z((0, k), np.float32))
+    starts = first_centre + np.arange(n) * k             # first centre epoch
+    ends = starts + k - 1                                # last centre epoch
+    idx = starts[:, None] + np.arange(k)[None, :]        # (n, k)
+    target = utt.features[idx].reshape(n, k * d).astype(np.float32)
+    join_left = utt.features[starts].astype(np.float32)
+    join_right = utt.features[np.minimum(ends + 1, E - 1)].astype(np.float32)
+    cut = np.stack(
+        [utt.epochs[starts - 1], utt.epochs[starts], utt.epochs[np.minimum(ends + 1, E - 1)]],
+        axis=1,
+    ).astype(np.int64)
+    lf0 = utt.lf0[idx].astype(np.float32)
+    return target, join_left, join_right, cut, lf0
+
+
+def _snap_to_epochs(bounds: np.ndarray, epochs: np.ndarray) -> np.ndarray:
+    """Snap sample positions to nearest epoch *indices*."""
+    pos = np.searchsorted(epochs, bounds)
+    pos = np.clip(pos, 1, len(epochs) - 1)
+    left = epochs[pos - 1]
+    right = epochs[np.minimum(pos, len(epochs) - 1)]
+    choose_left = (bounds - left) <= (right - bounds)
+    return np.where(choose_left, pos - 1, pos).astype(np.int64)
+
+
+def _halfphone_units(
+    utt: UtteranceData,
+    unit_vocab: dict[str, int],
+    phone_vocab: dict[str, int],
+    sample_rate: int,
+):
+    """Cut one utterance into halfphone units snapped to the epoch grid."""
+    from snickery_tpu.io.labels import segments_to_sample_bounds
+
+    E, d = utt.features.shape
+    segs = utt.halfphones or []
+    bounds = segments_to_sample_bounds(segs, sample_rate)
+    tgt, jl, jr, cuts, lf0s, codes, ctxs = [], [], [], [], [], [], []
+    for seg, (s0, s1) in zip(segs, bounds):
+        e0 = int(_snap_to_epochs(np.array([s0]), utt.epochs)[0])
+        e1 = int(_snap_to_epochs(np.array([s1]), utt.epochs)[0])
+        e0 = max(e0, 1)
+        e1 = min(max(e1 - 1, e0), E - 2)     # last centre epoch inside the segment
+        if e1 < e0:
+            continue
+        mid = (e0 + e1) // 2
+        tgt.append(np.concatenate([utt.features[e0], utt.features[mid], utt.features[e1]]))
+        jl.append(utt.features[e0])
+        jr.append(utt.features[min(e1 + 1, E - 1)])
+        cuts.append([utt.epochs[e0 - 1], utt.epochs[e0], utt.epochs[min(e1 + 1, E - 1)]])
+        lf0s.append([utt.lf0[e0], utt.lf0[mid], utt.lf0[e1]])
+        codes.append(unit_vocab.setdefault(seg.name, len(unit_vocab)))
+        ctxs.append([phone_vocab.setdefault(p, len(phone_vocab)) for p in seg.quinphone])
+    if not tgt:
+        z = np.zeros
+        return (z((0, 3 * d), np.float32), z((0, d), np.float32), z((0, d), np.float32),
+                z((0, 3), np.int64), z((0, 3), np.float32), z((0,), np.int32), z((0, 5), np.int32))
+    return (np.asarray(tgt, np.float32), np.asarray(jl, np.float32),
+            np.asarray(jr, np.float32), np.asarray(cuts, np.int64),
+            np.asarray(lf0s, np.float32), np.asarray(codes, np.int32),
+            np.asarray(ctxs, np.int32))
+
+
+def build_voicedb(cfg: SnickeryConfig, utterances: list[UtteranceData]) -> VoiceDB:
+    """Assemble a VoiceDB from prepared per-utterance data."""
+    k = cfg.multiepoch
+    halfphone = cfg.target_representation == "halfphone"
+    unit_vocab: dict[str, int] = {}
+    phone_vocab: dict[str, int] = {"xx": 0}
+
+    all_t, all_jl, all_jr, all_cut, all_lf0 = [], [], [], [], []
+    all_code, all_ctx, all_utt, all_pos = [], [], [], []
+    waves, wave_offsets, filenames = [], [0], []
+
+    for ui, utt in enumerate(utterances):
+        if len(utt.epochs) < 4 or len(utt.features) != len(utt.epochs):
+            logger.warning("skipping %s: %d epochs vs %d feature frames",
+                           utt.basename, len(utt.epochs), len(utt.features))
+            continue
+        if halfphone:
+            t, jl, jr, cut, lf0, code, ctx = _halfphone_units(
+                utt, unit_vocab, phone_vocab, cfg.sample_rate)
+        else:
+            t, jl, jr, cut, lf0 = _epoch_units(utt, k)
+            code = np.zeros(len(t), np.int32)
+            ctx = np.zeros((len(t), 5), np.int32)
+        n = len(t)
+        if n == 0:
+            continue
+        offset = wave_offsets[-1]
+        all_t.append(t); all_jl.append(jl); all_jr.append(jr)
+        all_cut.append(cut + offset)         # cutpoints into the concatenated wave
+        all_lf0.append(lf0)
+        all_code.append(code); all_ctx.append(ctx)
+        all_utt.append(np.full(n, len(filenames), np.int32))
+        all_pos.append(np.arange(n, dtype=np.int32))
+        waves.append(np.asarray(utt.wave, np.float32))
+        wave_offsets.append(offset + len(utt.wave))
+        filenames.append(utt.basename)
+
+    if not all_t:
+        raise ValueError("no units produced from any utterance")
+
+    unit_features = np.concatenate(all_t)
+    join_left = np.concatenate(all_jl)
+    join_right = np.concatenate(all_jr)
+
+    mean_t = unit_features.mean(axis=0)
+    std_t = np.maximum(unit_features.std(axis=0), 1e-8)
+    join_all = np.concatenate([join_left, join_right])
+    mean_j = join_all.mean(axis=0)
+    std_j = np.maximum(join_all.std(axis=0), 1e-8)
+
+    unit_names = [None] * len(unit_vocab)
+    for name, c in unit_vocab.items():
+        unit_names[c] = name
+    phone_names = [None] * len(phone_vocab)
+    for name, c in phone_vocab.items():
+        phone_names[c] = name
+
+    db = VoiceDB(
+        sample_rate=cfg.sample_rate,
+        target_representation=cfg.target_representation,
+        multiepoch=k,
+        stream_list=list(cfg.stream_list),
+        datadims=dict(cfg.datadims),
+        filenames=filenames,
+        unit_names=unit_names,
+        phone_names=phone_names,
+        unit_features=unit_features,
+        join_left=join_left,
+        join_right=join_right,
+        cutpoints=np.concatenate(all_cut),
+        utt_index=np.concatenate(all_utt),
+        unit_pos=np.concatenate(all_pos),
+        unit_code=np.concatenate(all_code),
+        context_codes=np.concatenate(all_ctx),
+        unit_lf0=np.concatenate(all_lf0),
+        mean_target=mean_t.astype(np.float32),
+        std_target=std_t.astype(np.float32),
+        mean_join=mean_j.astype(np.float32),
+        std_join=std_j.astype(np.float32),
+        waves=np.concatenate(waves) if waves else np.zeros(0, np.float32),
+        wave_offsets=np.asarray(wave_offsets, np.int64),
+    )
+    logger.info("built %s", db.summary())
+    return db

@@ -8,10 +8,18 @@ Must run before jax initialises its backends.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already in the env, so setting the env var here is too
+# late — override via the config API instead (backends are not yet
+# instantiated when conftest runs).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,144 @@
+"""End-to-end synthesis tests on a toy voice (epoch + halfphone modes),
+including the unit-sequence agreement harness vs the float64 oracle
+(BASELINE.json: >=99% agreement criterion)."""
+
+import numpy as np
+import pytest
+
+from snickery_tpu import oracle
+from snickery_tpu.synth import Synthesiser
+from tests.toyvoice import build_toy_voice, prepare_toy_utts
+
+
+@pytest.fixture(scope="module")
+def epoch_voice():
+    cfg, db, utts = build_toy_voice(halfphone=False, multiepoch=1)
+    return cfg, db, utts, Synthesiser(cfg, db=db)
+
+
+@pytest.fixture(scope="module")
+def halfphone_voice():
+    cfg, db, utts = build_toy_voice(halfphone=True)
+    return cfg, db, utts, Synthesiser(cfg, db=db)
+
+
+def _epoch_targets(synth, utt):
+    return synth.targets_from_features(utt.features)
+
+
+def test_epoch_synth_resynthesises_training_utterance(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    utt = utts[0]
+    result = synth.synth_from_features(utt.features)
+    assert result["n_units"] > 50
+    # natural target -> overwhelmingly natural unit sequence (cost ~0 path)
+    ids = result["unit_ids"]
+    utt_of_unit = db.utt_index[ids]
+    assert (utt_of_unit == 0).mean() > 0.9
+    # selected units should be consecutive runs
+    pos = db.unit_pos[ids]
+    natural_steps = (np.diff(pos) == 1).mean()
+    assert natural_steps > 0.85, f"natural continuation rate {natural_steps}"
+    # audio close to the original in the interior.  Output sample j maps to
+    # corpus sample (first unit's anchor - taper + j) when the path is natural.
+    wave = result["wave"]
+    t = cfg.taper_length
+    anchor0 = int(db.cutpoints[ids[0], 1])     # corpus coords (utt0 offset = 0)
+    lo, hi = 2 * t, len(wave) - 2 * t
+    src = np.arange(lo, hi) + anchor0 - t
+    keep = src < len(utt.wave)
+    a = utt.wave[src[keep]]
+    b = wave[lo:hi][keep]
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.8, f"resynthesis corr {corr}"
+
+
+def test_epoch_agreement_vs_oracle(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    # held-out-ish: use a different utterance's features as target
+    utt = utts[-1]
+    result = synth.synth_from_features(utt.features)
+    ids_tpu = result["unit_ids"]
+
+    # oracle pipeline on the same normalised/weighted arrays
+    tgt_units, t_units = synth.targets_from_features(utt.features)
+    tnorm = (tgt_units - db.mean_target) / db.std_target
+    tw = (tnorm * synth._sqrt_wt[None, :]).astype(np.float32)
+    feats = db.normalised_features().astype(np.float32) * synth._sqrt_wt[None, :]
+    jl, jr = db.normalised_joins()
+    jl = (jl * synth._sqrt_wj[None, :]).astype(np.float32)
+    jr = (jr * synth._sqrt_wj[None, :]).astype(np.float32)
+    ids_ref, _ = oracle.synth_pipeline(
+        tw, feats, jl, jr,
+        n_candidates=min(cfg.n_candidates, synth.n_units_padded),
+        join_cost_weight=cfg.join_cost_weight,
+    )
+    agree = (ids_tpu == ids_ref).mean()
+    assert agree >= 0.99, f"unit-sequence agreement vs oracle: {agree}"
+
+
+def test_epoch_greedy_runs(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    result = synth.synth_from_features(utts[1].features, greedy=True)
+    assert result["n_units"] > 50
+    assert np.isfinite(result["total_cost"])
+    assert len(result["wave"]) > 1000
+
+
+def test_magphase_resynthesis_path(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    utt = utts[0]
+    result = synth.synth_from_features(utt.features)
+    wave = synth.resynth_magphase(result["unit_ids"])
+    assert len(wave) > 1000
+    assert np.isfinite(wave).all()
+    # target f0 imposition path
+    tgt_lf0 = utt.lf0[: result["n_units"] * synth.frames_per_unit]
+    wave2 = synth.resynth_magphase(result["unit_ids"], target_lf0=tgt_lf0)
+    assert len(wave2) > 1000
+
+
+def test_halfphone_synth(halfphone_voice):
+    cfg, db, utts, synth = halfphone_voice
+    assert db.target_representation == "halfphone"
+    assert len(db.unit_names) > 4
+    utt = utts[0]
+    tgt, kept = synth.halfphone_targets_from_features(utt.features, utt.epochs, utt.halfphones)
+    assert len(kept) > 8
+    result = synth.synth_from_features(tgt, target_segments=kept)
+    ids = result["unit_ids"]
+    # selected units must match the requested halfphone identity
+    want = np.asarray([synth._unit_vocab[s.name] for s in kept])
+    got = db.unit_code[ids]
+    match = (want == got).mean()
+    assert match > 0.95, f"halfphone identity match {match}"
+    assert len(result["wave"]) > 1000
+
+
+def test_multiepoch_voice():
+    cfg, db, utts = build_toy_voice(halfphone=False, multiepoch=4, n_utts=2)
+    synth = Synthesiser(cfg, db=db)
+    utt = utts[0]
+    result = synth.synth_from_features(utt.features)
+    assert result["n_units"] > 10
+    # each unit spans ~4 epochs: DB target dim must be 4*d
+    assert db.target_dim == 4 * cfg.target_dim
+    assert len(result["wave"]) > 1000
+
+
+def test_voicedb_save_load_roundtrip(tmp_path, epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    p = str(tmp_path / "voice.voicedb")
+    db.save(p)
+    from snickery_tpu.voicedb.db import VoiceDB
+    db2 = VoiceDB.load(p)
+    assert db2.n_units == db.n_units
+    np.testing.assert_array_equal(db2.unit_features, db.unit_features)
+    np.testing.assert_array_equal(db2.cutpoints, db.cutpoints)
+    assert db2.filenames == db.filenames
+    # a Synthesiser built from the loaded DB selects identically
+    synth2 = Synthesiser(cfg, db=db2)
+    utt = utts[0]
+    r1 = synth.synth_from_features(utt.features)
+    r2 = synth2.synth_from_features(utt.features)
+    np.testing.assert_array_equal(r1["unit_ids"], r2["unit_ids"])

@@ -1,0 +1,113 @@
+"""Kernel-level agreement tests: TPU-path ops vs the float64 numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from snickery_tpu import oracle
+from snickery_tpu.ops.topk import topk_preselect
+from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
+from snickery_tpu.ops.ola import overlap_add_units
+
+
+def test_topk_matches_oracle(rng):
+    T, M, d, k = 37, 2048, 24, 10
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    idx, scores = topk_preselect(jnp.asarray(targets), jnp.asarray(db), k=k, chunk=512)
+    ref_idx, ref_sq = oracle.preselect(targets, db, k)
+    agree = (np.asarray(idx) == ref_idx).mean()
+    assert agree == 1.0, f"top-k index agreement {agree}"
+    # scores omit ||t||^2; adding it back recovers true squared distances
+    true_sq = np.asarray(scores) + (targets ** 2).sum(-1, keepdims=True)
+    np.testing.assert_allclose(true_sq, ref_sq, rtol=1e-3, atol=1e-3)
+
+
+def test_viterbi_matches_oracle(rng):
+    T, N, dj = 50, 16, 8
+    tc = rng.random((T, N)).astype(np.float32) * 5
+    jl = rng.standard_normal((T, N, dj)).astype(np.float32)
+    jr = rng.standard_normal((T, N, dj)).astype(np.float32)
+    path, cost = viterbi_decode(jnp.asarray(tc), jnp.asarray(jl), jnp.asarray(jr),
+                                join_cost_weight=0.7)
+    ref_path, ref_cost = oracle.viterbi(tc, jl, jr, join_cost_weight=0.7)
+    agree = (np.asarray(path) == ref_path).mean()
+    assert agree >= 0.99, f"viterbi agreement {agree}"
+    assert abs(float(cost) - ref_cost) / ref_cost < 1e-4
+
+
+def test_viterbi_epsilon_pruning_consistent(rng):
+    # with a huge epsilon, pruning must change nothing
+    T, N, dj = 30, 12, 6
+    tc = rng.random((T, N)).astype(np.float32)
+    jl = rng.standard_normal((T, N, dj)).astype(np.float32)
+    jr = rng.standard_normal((T, N, dj)).astype(np.float32)
+    p0, c0 = viterbi_decode(jnp.asarray(tc), jnp.asarray(jl), jnp.asarray(jr))
+    p1, c1 = viterbi_decode(jnp.asarray(tc), jnp.asarray(jl), jnp.asarray(jr),
+                            search_epsilon=1e9)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    assert abs(float(c0) - float(c1)) < 1e-5
+
+
+def test_viterbi_padding_invariance(rng):
+    T, N, dj, pad = 20, 8, 4, 12
+    tc = rng.random((T, N)).astype(np.float32)
+    jl = rng.standard_normal((T, N, dj)).astype(np.float32)
+    jr = rng.standard_normal((T, N, dj)).astype(np.float32)
+    p0, c0 = viterbi_decode(jnp.asarray(tc), jnp.asarray(jl), jnp.asarray(jr))
+    tc_p = np.pad(tc, ((0, pad), (0, 0)), constant_values=123.0)  # junk in padding
+    jl_p = np.pad(jl, ((0, pad), (0, 0), (0, 0)), constant_values=9.0)
+    jr_p = np.pad(jr, ((0, pad), (0, 0), (0, 0)), constant_values=-7.0)
+    p1, c1 = viterbi_decode(jnp.asarray(tc_p), jnp.asarray(jl_p), jnp.asarray(jr_p),
+                            length=T)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1)[:T])
+    assert abs(float(c0) - float(c1)) < 1e-4
+
+
+def test_greedy_matches_oracle(rng):
+    T, N, dj = 40, 10, 5
+    tc = rng.random((T, N)).astype(np.float32) * 3
+    jl = rng.standard_normal((T, N, dj)).astype(np.float32)
+    jr = rng.standard_normal((T, N, dj)).astype(np.float32)
+    path, cost = greedy_decode(jnp.asarray(tc), jnp.asarray(jl), jnp.asarray(jr),
+                               join_cost_weight=0.5)
+    ref_path, ref_cost = oracle.greedy(tc, jl, jr, join_cost_weight=0.5)
+    assert (np.asarray(path) == ref_path).all()
+    assert abs(float(cost) - ref_cost) / max(ref_cost, 1e-9) < 1e-4
+
+
+def test_ola_matches_oracle_and_reconstructs(rng):
+    # corpus = smooth signal; natural consecutive units must reconstruct it
+    n = 6000
+    corpus = np.sin(np.arange(n) / 40.0).astype(np.float32)
+    taper = 32
+    # 10 consecutive units of 400 samples starting at 500
+    starts = 500 + 400 * np.arange(10)
+    ends = starts + 400
+    out, total = overlap_add_units(
+        jnp.asarray(corpus), jnp.asarray(starts), jnp.asarray(ends),
+        n_units=jnp.int32(10), max_frag=512, out_len=8192, taper=taper)
+    out = np.asarray(out)
+    total = int(total)
+    assert total == 4000 + 2 * taper
+    ref = oracle.overlap_add(corpus, starts, ends, taper)
+    np.testing.assert_allclose(out[:total], ref, atol=1e-5)
+    # interior must equal the corpus exactly (perfect natural reconstruction)
+    np.testing.assert_allclose(
+        out[2 * taper: total - 2 * taper],
+        corpus[500 + taper: 500 + 4000 - taper],
+        atol=1e-5,
+    )
+
+
+def test_ola_padded_units_ignored(rng):
+    corpus = rng.standard_normal(4000).astype(np.float32)
+    starts = np.array([100, 600, 0, 0])
+    ends = np.array([500, 1000, 0, 0])
+    out, total = overlap_add_units(
+        jnp.asarray(corpus), jnp.asarray(starts), jnp.asarray(ends),
+        n_units=jnp.int32(2), max_frag=1024, out_len=2048, taper=16)
+    out2, total2 = overlap_add_units(
+        jnp.asarray(corpus), jnp.asarray(starts[:2]), jnp.asarray(ends[:2]),
+        n_units=jnp.int32(2), max_frag=1024, out_len=2048, taper=16)
+    assert int(total) == int(total2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
