@@ -1,0 +1,172 @@
+"""Command-line interface.
+
+Reference surface (SURVEY.md §1 L3/L4; unverified, mount empty):
+    python script/train_halfphone.py -c CONFIG
+    python script/synth_halfphone.py -c CONFIG
+
+Here:
+    python -m snickery_tpu.cli train -c CONFIG
+    python -m snickery_tpu.cli synth -c CONFIG [-o OUTDIR] [--greedy]
+    python -m snickery_tpu.cli info  -c CONFIG
+plus thin scripts/train_halfphone.py & scripts/synth_halfphone.py wrappers
+that keep the exact reference invocation shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from snickery_tpu import utils
+from snickery_tpu.config import SnickeryConfig, load_config
+
+logger = utils.logger
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-c", "--config", required=True, help="config file (.cfg/.py/.json)")
+
+
+def cmd_train(args: argparse.Namespace) -> int:
+    from snickery_tpu.train import train_voice
+
+    cfg = load_config(args.config)
+    db = train_voice(cfg)
+    logger.info("voice built: %s", db.summary())
+    return 0
+
+
+def _test_basenames(cfg: SnickeryConfig) -> list[str]:
+    """Test utterances: config patterns, else everything in test_data_dir's
+    first stream subdir, else the training wav dir (copy-synthesis)."""
+    if cfg.test_data_dir:
+        stream0 = cfg.stream_list[0]
+        d = os.path.join(cfg.test_data_dir, stream0)
+        bases = utils.basenames_in(d, stream0)
+    else:
+        bases = utils.basenames_in(cfg.wav_datadir, "wav")
+    if cfg.test_patterns:
+        bases = [b for b in bases if any(pat in b for pat in cfg.test_patterns)]
+    return bases
+
+
+def _target_features_for(cfg: SnickeryConfig, base: str):
+    """Epoch-rate target trajectory for a test utterance.
+
+    Hybrid (DNN-target) mode: stream files under test_data_dir (predicted by
+    an external Merlin-style model — the reference trains no DNNs either,
+    SURVEY.md §2 row 10).  Natural mode: analyse the test wav natively.
+    Returns (features (E, d), lf0 (E,), halfphone segments or None).
+    """
+    from snickery_tpu.io.speech import get_speech
+
+    if cfg.test_data_dir:
+        mats = []
+        for stream in cfg.stream_list:
+            p = os.path.join(cfg.test_data_dir, stream, f"{base}.{stream}")
+            if not os.path.exists(p):
+                raise FileNotFoundError(p)
+            mats.append(get_speech(p, cfg.datadims[stream]))
+        n = min(len(m) for m in mats)
+        feats = np.concatenate([m[:n] for m in mats], axis=1)
+        lf0 = None
+        for (name, a, b) in cfg.stream_slices:
+            if name == "lf0":
+                lf0 = feats[:, a]
+        segments = None
+        epochs = None
+    else:
+        from snickery_tpu.train import prepare_utterance
+        utt = prepare_utterance(cfg, base)
+        if utt is None:
+            raise FileNotFoundError(f"cannot prepare test utterance {base}")
+        feats, lf0, segments, epochs = utt.features, utt.lf0, utt.halfphones, utt.epochs
+    return feats, lf0, segments, epochs
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from snickery_tpu.io.speech import write_wave
+    from snickery_tpu.synth import Synthesiser
+
+    cfg = load_config(args.config)
+    if args.output_dir:
+        cfg.output_dir = args.output_dir
+    outdir = cfg.output_dir or os.path.join(cfg.workdir, "synth_output")
+    utils.safe_makedir(outdir)
+
+    synth = Synthesiser(cfg)
+    bases = _test_basenames(cfg)
+    if args.utterances:
+        bases = [b for b in bases if b in set(args.utterances)]
+    if not bases:
+        logger.error("no test utterances found")
+        return 1
+    logger.info("synthesising %d utterances -> %s", len(bases), outdir)
+    halfphone = synth.db.target_representation == "halfphone"
+    for base in bases:
+        feats, lf0, segments, epochs = _target_features_for(cfg, base)
+        if halfphone:
+            if segments is None:
+                logger.warning("%s: no labels for halfphone targets, skipping", base)
+                continue
+            tgt, kept = synth.halfphone_targets_from_features(feats, epochs, segments)
+            result = synth.synth_from_features(
+                tgt, greedy=args.greedy or None, target_segments=kept)
+        else:
+            result = synth.synth_from_features(feats, greedy=args.greedy or None)
+        out_path = os.path.join(outdir, base + ".wav")
+        write_wave(result["wave"], out_path, cfg.sample_rate)
+        logger.info("%s: %d units, cost %.2f -> %s",
+                    base, result["n_units"], result["total_cost"], out_path)
+        if args.dump_units:
+            np.save(os.path.join(outdir, base + ".units.npy"), result["unit_ids"])
+    synth.timer.log("synth")
+    return 0
+
+
+def cmd_info(args: argparse.Namespace) -> int:
+    from snickery_tpu.voicedb.db import VoiceDB
+
+    cfg = load_config(args.config)
+    if os.path.isdir(cfg.db_path):
+        db = VoiceDB.load(cfg.db_path)
+        print(db.summary())
+    else:
+        print(f"no voice DB at {cfg.db_path}")
+    for key, val in sorted(cfg.to_dict().items()):
+        print(f"  {key} = {val!r}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="snickery_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="build a voice database")
+    _add_common(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_synth = sub.add_parser("synth", help="synthesise test utterances")
+    _add_common(p_synth)
+    p_synth.add_argument("-o", "--output-dir", default="")
+    p_synth.add_argument("--greedy", action="store_true",
+                         help="greedy online selection instead of Viterbi")
+    p_synth.add_argument("--dump-units", action="store_true",
+                         help="also save selected unit ids per utterance")
+    p_synth.add_argument("utterances", nargs="*", help="restrict to these basenames")
+    p_synth.set_defaults(fn=cmd_synth)
+
+    p_info = sub.add_parser("info", help="show voice/config info")
+    _add_common(p_info)
+    p_info.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    utils.enable_compilation_cache()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

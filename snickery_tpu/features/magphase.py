@@ -136,12 +136,22 @@ def magphase_analysis(
         }
     frame_max = int(2 ** np.ceil(np.log2(2 * sample_rate / fmin)))
     n_fft = n_fft or frame_max
+    # Bucket the epoch axis (pad by repeating the last epoch) so utterances
+    # with different epoch counts share one compiled program — TPU compiles
+    # here are expensive (remote-compile path) and E varies per utterance.
+    E = len(epoch_samples)
+    Ep = max(128, ((E + 127) // 128) * 128)
+    eps_padded = np.concatenate([epoch_samples, np.full(Ep - E, epoch_samples[-1], np.int32)])
+    # Wave length also varies; bucket it too (zero-pad; frames are masked).
+    n = len(wave)
+    npad = max(1024, ((n + 16383) // 16384) * 16384)
+    wave_padded = np.concatenate([np.asarray(wave, np.float32), np.zeros(npad - n, np.float32)])
     out = magphase_analysis_frames(
-        jnp.asarray(wave, jnp.float32), jnp.asarray(epoch_samples),
+        jnp.asarray(wave_padded), jnp.asarray(eps_padded),
         frame_max=frame_max, n_fft=n_fft, n_mag=n_mag, n_phase=n_phase,
         sample_rate=sample_rate,
     )
-    result = {k: np.asarray(v) for k, v in out.items()}
+    result = {k: np.asarray(v)[:E] for k, v in out.items()}
     result["lf0"] = f0_from_epochs(epoch_samples, sample_rate, fmin=fmin)
     return result
 

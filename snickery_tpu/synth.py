@@ -15,6 +15,7 @@ axis.  The unit DB lives on device permanently (HBM resident).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,91 @@ def _stream_weight_vector(cfg: SnickeryConfig, weights: list[float]) -> np.ndarr
     for (name, a, b), w in zip(cfg.stream_slices, weights):
         out[a:b] = w
     return out
+
+
+class DeviceDB(NamedTuple):
+    """HBM-resident voice DB arrays, passed as explicit jit arguments.
+
+    IMPORTANT: these must be *arguments* of the jitted pipeline, never
+    closure captures — closed-over device arrays are baked into the HLO as
+    constants, which defeats JAX's persistent compilation cache and makes
+    every process pay the (minutes-long, remote-compile) pipeline build.
+    """
+    feats: jax.Array        # (Mp, D) normalised + sqrt-weighted target features
+    jl: jax.Array           # (Mp, dj) normalised + sqrt-weighted left contexts
+    jr: jax.Array           # (Mp, dj) right contexts
+    cut1: jax.Array         # (Mp,)
+    cut2: jax.Array         # (Mp,)
+    waves: jax.Array        # (S,)
+    mean_t: jax.Array       # (D,)
+    std_t: jax.Array        # (D,)
+    sqrt_wt: jax.Array      # (D,)
+    codes: jax.Array        # (Mp,)  halfphone codes (zeros in epoch mode)
+    ctx: jax.Array          # (Mp, 5) quinphone codes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cand", "chunk", "greedy", "halfphone",
+                     "max_frag", "out_len", "taper"),
+)
+def synth_pipeline_step(
+    db: DeviceDB,
+    targets: jax.Array,      # (T, D) raw unit-rate target features
+    length: jax.Array,       # scalar int32 — live steps
+    tgt_codes: jax.Array,    # (T,)
+    tgt_ctx: jax.Array,      # (T, 5)
+    jcw: jax.Array,          # scalar join_cost_weight
+    eps: jax.Array,          # scalar search_epsilon
+    *,
+    n_cand: int,
+    chunk: int,
+    greedy: bool,
+    halfphone: bool,
+    max_frag: int,
+    out_len: int,
+    taper: int,
+):
+    """The full per-utterance synthesis program (one compiled unit)."""
+    T = targets.shape[0]
+    tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
+    tw = tnorm * db.sqrt_wt[None, :]
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    live = t_idx < length
+    tw = jnp.where(live[:, None], tw, 0.0)
+
+    extra = None
+    if halfphone:
+        extra = quinphone_penalties(tgt_codes, tgt_ctx, db.codes, db.ctx)
+    cand_idx, scores = topk_preselect(
+        tw, db.feats, k=n_cand, chunk=chunk, extra_scores=extra)
+    tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
+    if halfphone:
+        # linguistic penalties pollute the scores; recompute exact acoustic
+        # distances for the preselected candidates only.
+        cand_feats = db.feats[cand_idx]                         # (T,N,D)
+        diff = cand_feats - tw[:, None, :]
+        target_costs = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    else:
+        target_costs = jnp.sqrt(jnp.maximum(scores + tsq, 0.0))
+    target_costs = jnp.where(live[:, None], target_costs, 0.0)
+
+    jl_cand = db.jl[cand_idx]                                   # (T,N,dj)
+    jr_cand = db.jr[cand_idx]
+    if greedy:
+        path, total_cost = greedy_decode(
+            target_costs, jl_cand, jr_cand, join_cost_weight=jcw, length=length)
+    else:
+        path, total_cost = viterbi_decode(
+            target_costs, jl_cand, jr_cand, join_cost_weight=jcw,
+            search_epsilon=eps, length=length)
+    unit_ids = jnp.take_along_axis(cand_idx, path[:, None], axis=1)[:, 0]
+    unit_ids = jnp.where(live, unit_ids, 0)
+
+    audio, total_samples = overlap_add_units(
+        db.waves, db.cut1[unit_ids], db.cut2[unit_ids], n_units=length,
+        max_frag=max_frag, out_len=out_len, taper=taper)
+    return unit_ids, total_cost, audio, total_samples
 
 
 class Synthesiser:
@@ -95,28 +181,34 @@ class Synthesiser:
 
         dev = jax.devices()[0]
         put = functools.partial(jax.device_put, device=dev)
-        self.d_feats = put(feats)
-        self.d_jl = put(jl)
-        self.d_jr = put(jr)
-        self.d_cut1 = put(np.ascontiguousarray(cuts[:, 1]))
-        self.d_cut2 = put(np.ascontiguousarray(cuts[:, 2]))
-        self.d_waves = put(np.asarray(db.waves, np.float32))
-        self.d_mean_t = put(db.mean_target.astype(np.float32))
-        self.d_std_t = put(db.std_target.astype(np.float32))
-        self.d_lf0 = put(np.pad(db.unit_lf0.astype(np.float32), ((0, mp - m), (0, 0))))
         if db.target_representation == "halfphone":
-            self.d_codes = put(np.pad(db.unit_code.astype(np.int32), (0, mp - m),
-                                      constant_values=-1))
-            self.d_ctx = put(np.pad(db.context_codes.astype(np.int32),
-                                    ((0, mp - m), (0, 0)), constant_values=-1))
+            codes_arr = np.pad(db.unit_code.astype(np.int32), (0, mp - m),
+                               constant_values=-1)
+            ctx_arr = np.pad(db.context_codes.astype(np.int32),
+                             ((0, mp - m), (0, 0)), constant_values=-1)
+        else:
+            codes_arr = np.zeros(mp, np.int32)
+            ctx_arr = np.zeros((mp, 5), np.int32)
+        self.device_db = DeviceDB(
+            feats=put(feats),
+            jl=put(jl),
+            jr=put(jr),
+            cut1=put(np.ascontiguousarray(cuts[:, 1])),
+            cut2=put(np.ascontiguousarray(cuts[:, 2])),
+            waves=put(np.asarray(db.waves, np.float32)),
+            mean_t=put(db.mean_target.astype(np.float32)),
+            std_t=put(db.std_target.astype(np.float32)),
+            sqrt_wt=put(self._sqrt_wt),
+            codes=put(codes_arr),
+            ctx=put(ctx_arr),
+        )
+        self.d_lf0 = put(np.pad(db.unit_lf0.astype(np.float32), ((0, mp - m), (0, 0))))
         # static OLA geometry
         spans = (db.cutpoints[:, 2] - db.cutpoints[:, 1]).astype(np.int64)
         self.max_span = int(spans.max()) if len(spans) else 1
         self.max_frag = utils.next_multiple(self.max_span + 2 * cfg.taper_length, 128)
         self._unit_vocab = {n: i for i, n in enumerate(db.unit_names)}
         self._phone_vocab = {n: i for i, n in enumerate(db.phone_names)}
-        # one compiled pipeline per T-bucket
-        self._compiled: dict[tuple, object] = {}
 
     # ------------------------------------------------------- target assembly
     def targets_from_features(self, features: np.ndarray) -> tuple[np.ndarray, int]:
@@ -139,71 +231,20 @@ class Synthesiser:
         return usable[: t_units * k].reshape(t_units, k * d).astype(np.float32), t_units
 
     # --------------------------------------------------------------- pipeline
-    def _get_pipeline(self, t_bucket: int, n_cand: int, greedy: bool):
-        key = (t_bucket, n_cand, greedy)
-        if key in self._compiled:
-            return self._compiled[key]
-
+    def _run_pipeline(self, tgt_pad, t_units, codes, ctx, n_cand: int, greedy: bool):
         cfg = self.cfg
-        out_len = t_bucket * self.max_span + 2 * cfg.taper_length
-        out_len = utils.next_multiple(out_len, 128)
-        taper = cfg.taper_length
-        max_frag = self.max_frag
-        halfphone = self.db.target_representation == "halfphone"
-
-        @functools.partial(jax.jit, static_argnames=())
-        def pipeline(targets, length, tgt_codes, tgt_ctx):
-            # targets: (T, k*d) raw unit-rate target features; length: scalar
-            T = targets.shape[0]
-            tnorm = (targets - self.d_mean_t[None, :]) / self.d_std_t[None, :]
-            tw = tnorm * jnp.asarray(self._sqrt_wt)[None, :]
-            t_idx = jnp.arange(T, dtype=jnp.int32)
-            live = t_idx < length
-            tw = jnp.where(live[:, None], tw, 0.0)
-
-            extra = None
-            if halfphone:
-                extra = quinphone_penalties(
-                    tgt_codes, tgt_ctx, self.d_codes, self.d_ctx)
-            cand_idx, scores = topk_preselect(
-                tw, self.d_feats, k=n_cand, chunk=self.chunk, extra_scores=extra)
-            # scores dropped ||t||^2 (and include linguistic penalties); true
-            # squared acoustic distance needs the target norm added back.
-            tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
-            if halfphone:
-                # recover acoustic part: penalties are >= 0 and quantised in
-                # units of 100; acoustic distance is what remains mod that.
-                # Simpler: recompute exact distances for the k candidates.
-                cand_feats = self.d_feats[cand_idx]                     # (T,N,D)
-                diff = cand_feats - tw[:, None, :]
-                target_costs = jnp.sqrt(jnp.maximum(
-                    jnp.sum(diff * diff, axis=-1), 0.0))
-            else:
-                target_costs = jnp.sqrt(jnp.maximum(scores + tsq, 0.0))
-            target_costs = jnp.where(live[:, None], target_costs, 0.0)
-
-            jl_cand = self.d_jl[cand_idx]                               # (T,N,dj)
-            jr_cand = self.d_jr[cand_idx]
-            decode = greedy_decode if greedy else viterbi_decode
-            path, total_cost = decode(
-                target_costs, jl_cand, jr_cand,
-                join_cost_weight=cfg.join_cost_weight,
-                **({} if greedy else {"search_epsilon": cfg.search_epsilon}),
-                length=length,
-            )
-            unit_ids = jnp.take_along_axis(cand_idx, path[:, None], axis=1)[:, 0]
-            unit_ids = jnp.where(live, unit_ids, 0)
-
-            audio, total_samples = overlap_add_units(
-                self.d_waves,
-                self.d_cut1[unit_ids], self.d_cut2[unit_ids],
-                n_units=length,
-                max_frag=max_frag, out_len=out_len, taper=taper,
-            )
-            return unit_ids, total_cost, audio, total_samples
-
-        self._compiled[key] = pipeline
-        return pipeline
+        t_bucket = tgt_pad.shape[0]
+        out_len = utils.next_multiple(
+            t_bucket * self.max_span + 2 * cfg.taper_length, 128)
+        return synth_pipeline_step(
+            self.device_db,
+            jnp.asarray(tgt_pad), jnp.int32(t_units),
+            jnp.asarray(codes), jnp.asarray(ctx),
+            jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
+            n_cand=n_cand, chunk=self.chunk, greedy=greedy,
+            halfphone=self.db.target_representation == "halfphone",
+            max_frag=self.max_frag, out_len=out_len, taper=cfg.taper_length,
+        )
 
     # ----------------------------------------------------------------- public
     def synth_from_features(
@@ -246,13 +287,9 @@ class Synthesiser:
         ctx = np.pad(ctx, ((0, pad), (0, 0)), constant_values=-1)
 
         n_cand = min(cfg.n_candidates, self.n_units_padded)
-        pipeline = self._get_pipeline(t_bucket, n_cand, greedy)
         with self.timer.stage("synth_step"):
-            unit_ids, total_cost, audio, total_samples = pipeline(
-                jnp.asarray(tgt_pad), jnp.int32(t_units),
-                jnp.asarray(codes), jnp.asarray(ctx))
             unit_ids, total_cost, audio, total_samples = jax.device_get(
-                (unit_ids, total_cost, audio, total_samples))
+                self._run_pipeline(tgt_pad, t_units, codes, ctx, n_cand, greedy))
         return {
             "wave": np.asarray(audio[: int(total_samples)]),
             "unit_ids": np.asarray(unit_ids[:t_units]),

@@ -91,6 +91,27 @@ def load_json(path: str):
         return json.load(f)
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    TPU compiles in this environment go through a remote-compile service and
+    can take minutes with high variance; the on-disk cache makes second runs
+    of the CLI/bench start in seconds.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "snickery_tpu_jax",
+    )
+    safe_makedir(cache_dir)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # pragma: no cover - config keys vary by jax version
+        logger.warning("could not enable compilation cache: %s", e)
+
+
 def next_multiple(x: int, m: int) -> int:
     """Smallest multiple of *m* that is >= x (and >= m)."""
     return max(m, ((x + m - 1) // m) * m)

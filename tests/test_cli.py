@@ -1,0 +1,94 @@
+"""Full file-based workflow test: extract -> train CLI -> synth CLI.
+
+This exercises the same surface a reference user touches: wav corpus on disk,
+feature extraction driver, `-c CONFIG` train/synth entry points, wav outputs.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from snickery_tpu.io.speech import read_wave, write_wave
+from tests.toyvoice import SR, synth_utterance
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_corpus")
+    wav_dir = root / "wav"
+    wav_dir.mkdir()
+    for i in range(3):
+        wave, _ = synth_utterance(200 + i, n_segments=5)
+        write_wave(wave, str(wav_dir / f"utt{i:02d}.wav"), SR)
+    return root
+
+
+def test_extract_train_synth(corpus):
+    import scripts.extract_magphase_features as extract
+    from snickery_tpu.cli import main as cli_main
+
+    feats = corpus / "feats"
+    rc = extract.main(["-w", str(corpus / "wav"), "-o", str(feats)])
+    assert rc == 0
+    assert sorted(os.listdir(feats)) == ["imag", "lf0", "mag", "pm", "real"]
+    assert len(os.listdir(feats / "mag")) == 3
+
+    work = corpus / "work"
+    cfg = {
+        "workdir": str(work),
+        "wav_datadir": str(corpus / "wav"),
+        "pm_datadir": str(feats / "pm"),
+        "feat_datadir": str(feats),
+        "stream_list": ["mag", "real", "imag", "lf0"],
+        "datadims": {"mag": 60, "real": 45, "imag": 45, "lf0": 1},
+        "sample_rate": SR,
+        "n_candidates": 8,
+        "taper_length": 32,
+        "length_buckets": [64, 128],
+        "voice_name": "clitoy",
+    }
+    cfg_path = corpus / "voice.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    assert cli_main(["train", "-c", str(cfg_path)]) == 0
+    assert os.path.isdir(work / "clitoy.voicedb")
+
+    outdir = corpus / "out"
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(outdir), "--dump-units"]) == 0
+    wavs = sorted(p for p in os.listdir(outdir) if p.endswith(".wav"))
+    assert wavs == ["utt00.wav", "utt01.wav", "utt02.wav"]
+    for w in wavs:
+        audio, sr = read_wave(str(outdir / w))
+        assert sr == SR and len(audio) > 1000
+        assert np.abs(audio).max() > 0.01
+    units = np.load(outdir / "utt00.units.npy")
+    assert units.ndim == 1 and len(units) > 10
+
+    # info command runs
+    assert cli_main(["info", "-c", str(cfg_path)]) == 0
+
+
+def test_exec_style_cfg_cli(corpus, tmp_path):
+    """The reference's exec'd python .cfg format drives the same CLI."""
+    from snickery_tpu.cli import main as cli_main
+
+    cfg_path = tmp_path / "voice.cfg"
+    cfg_path.write_text(
+        f"workdir = {str(tmp_path / 'w')!r}\n"
+        f"wav_datadir = {str(corpus / 'wav')!r}\n"
+        "stream_list = ['mag', 'lf0']\n"
+        "datadims = {'mag': 60, 'lf0': 1}\n"
+        f"sample_rate = {SR}\n"
+        "n_candidates = 6\n"
+        "taper_length = 32\n"
+        "length_buckets = [64, 128]\n"
+        "voice_name = 'cfgtoy'\n"
+        "multiepoch = 2\n"
+    )
+    assert cli_main(["train", "-c", str(cfg_path)]) == 0
+    out = tmp_path / "out"
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out), "utt01"]) == 0
+    assert sorted(os.listdir(out)) == ["utt01.wav"]
