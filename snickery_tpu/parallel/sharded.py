@@ -1,0 +1,210 @@
+"""Sharded, batched synthesis: the multi-chip compute path.
+
+Layout (north star; SURVEY.md §5.8):
+- unit features          (Mp, D)  -> row-sharded over the ``db`` mesh axis
+- join contexts, cutpoints, waves -> replicated (gathered by global unit id
+  after candidate selection; they are small relative to HBM)
+- target batch           (B, T, D) -> sharded over ``data``
+
+Per synthesis step, inside ``shard_map``:
+1. each (data, db) device computes local top-k of its DB shard for its
+   local batch rows (chunked matmul-distance scan — MXU work),
+2. ``all_gather`` of (k per shard) scores+global-ids over ``db`` (ICI),
+3. re-top-k to n_candidates — exactly the global top-k,
+4. Viterbi + OLA run replicated within each ``db`` group (identical
+   results on each member; the data axis carries the real parallelism).
+
+``sharded_norm_stats`` is the DB-building (training-side) collective:
+mean/variance over row-sharded unit features via ``psum``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from snickery_tpu.ops.ola import overlap_add_units
+from snickery_tpu.ops.topk import topk_preselect
+from snickery_tpu.ops.viterbi import viterbi_decode
+
+from snickery_tpu import utils
+
+
+class ShardedVoice(NamedTuple):
+    """Device arrays of a voice DB placed on a (data, db) mesh."""
+    feats: jax.Array      # (Mp, D) row-sharded over "db"
+    jl: jax.Array         # (Mp, dj) replicated
+    jr: jax.Array         # (Mp, dj) replicated
+    cut1: jax.Array       # (Mp,) replicated
+    cut2: jax.Array       # (Mp,) replicated
+    waves: jax.Array      # (S,)  replicated
+    mean_t: jax.Array     # (D,)  replicated
+    std_t: jax.Array      # (D,)  replicated
+    sqrt_wt: jax.Array    # (D,)  replicated
+
+
+def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
+                sqrt_wt) -> ShardedVoice:
+    """Place padded DB arrays onto the mesh with the layout above.
+
+    ``feats`` must have rows divisible by the db-axis size.
+    """
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("db", None))
+    put = jax.device_put
+    return ShardedVoice(
+        feats=put(jnp.asarray(feats, jnp.float32), rows),
+        jl=put(jnp.asarray(jl, jnp.float32), repl),
+        jr=put(jnp.asarray(jr, jnp.float32), repl),
+        cut1=put(jnp.asarray(cut1, jnp.int32), repl),
+        cut2=put(jnp.asarray(cut2, jnp.int32), repl),
+        waves=put(jnp.asarray(waves, jnp.float32), repl),
+        mean_t=put(jnp.asarray(mean_t, jnp.float32), repl),
+        std_t=put(jnp.asarray(std_t, jnp.float32), repl),
+        sqrt_wt=put(jnp.asarray(sqrt_wt, jnp.float32), repl),
+    )
+
+
+def _select_decode_batch(
+    feats_shard, jl, jr, targets, lengths, *, n_cand, chunk, jcw, eps, db_axis
+):
+    """Batched selection on one device: the whole local batch's target frames
+    are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
+    matmul scan — ~7x faster than vmapping preselect per utterance), then
+    reshaped back for the (cheap, vmapped) Viterbi.  Runs inside shard_map.
+    """
+    B, T, D = targets.shape
+    m_local = feats_shard.shape[0]
+    live = (jnp.arange(T, dtype=jnp.int32)[None, :] < lengths[:, None])   # (B, T)
+    tw = jnp.where(live[:, :, None], targets, 0.0)
+    tw_flat = tw.reshape(B * T, D)
+
+    k_local = min(n_cand, m_local)
+    idx_local, scores_local = topk_preselect(tw_flat, feats_shard, k=k_local, chunk=chunk)
+    shard_id = jax.lax.axis_index(db_axis)
+    idx_global = idx_local + shard_id * m_local
+
+    # gather (k per shard) over the db axis -> (B*T, ndb * k)
+    all_scores = jax.lax.all_gather(scores_local, db_axis, axis=1, tiled=True)
+    all_idx = jax.lax.all_gather(idx_global, db_axis, axis=1, tiled=True)
+    if all_scores.shape[1] > n_cand:
+        neg, pos = jax.lax.top_k(-all_scores, n_cand)
+        cand_idx = jnp.take_along_axis(all_idx, pos, axis=1)      # (B*T, n_cand)
+        best_sq = -neg
+    else:
+        cand_idx, best_sq = all_idx, all_scores
+    tsq = jnp.sum(tw_flat * tw_flat, axis=-1, keepdims=True)
+    target_costs = jnp.sqrt(jnp.maximum(best_sq + tsq, 0.0))
+    target_costs = jnp.where(live.reshape(-1, 1), target_costs, 0.0)
+
+    n_sel = cand_idx.shape[1]
+    jl_cand = jl[cand_idx].reshape(B, T, n_sel, -1)
+    jr_cand = jr[cand_idx].reshape(B, T, n_sel, -1)
+    cand_idx = cand_idx.reshape(B, T, n_sel)
+    target_costs = target_costs.reshape(B, T, n_sel)
+
+    def one(tc, jlc, jrc, length):
+        return viterbi_decode(tc, jlc, jrc, join_cost_weight=jcw,
+                              search_epsilon=eps, length=length)
+
+    paths, costs = jax.vmap(one)(target_costs, jl_cand, jr_cand, lengths)
+    unit_ids = jnp.take_along_axis(cand_idx, paths[:, :, None], axis=2)[:, :, 0]
+    unit_ids = jnp.where(live, unit_ids, 0)
+    return unit_ids, costs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper"),
+)
+def batched_synth_step(
+    voice: ShardedVoice,
+    targets: jax.Array,       # (B, T, D) raw unit-rate targets, sharded over "data"
+    lengths: jax.Array,       # (B,) int32
+    jcw: jax.Array,           # scalar
+    eps: jax.Array,           # scalar
+    *,
+    mesh: Mesh,
+    n_cand: int,
+    chunk: int,
+    max_frag: int,
+    out_len: int,
+    taper: int,
+):
+    """Batched multi-utterance synthesis over the mesh.
+
+    Returns (unit_ids (B, T), total_costs (B,), audio (B, out_len),
+    total_samples (B,)).
+    """
+    db_axis = "db"
+
+    def shard_fn(feats_shard, jl, jr, cut1, cut2, waves, mean_t, std_t,
+                 sqrt_wt, tgt_local, len_local, jcw_, eps_):
+        # tgt_local: (B_local, T, D)
+        tw = (tgt_local - mean_t[None, None, :]) / std_t[None, None, :]
+        tw = tw * sqrt_wt[None, None, :]
+
+        unit_ids, costs = _select_decode_batch(
+            feats_shard, jl, jr, tw, len_local,
+            n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis)
+
+        def ola_one(ids, len_one):
+            return overlap_add_units(
+                waves, cut1[ids], cut2[ids], n_units=len_one,
+                max_frag=max_frag, out_len=out_len, taper=taper)
+
+        audio, totals = jax.vmap(ola_one)(unit_ids, len_local)
+        return unit_ids, costs, audio, totals
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P("db", None),            # feats
+            P(), P(),                 # jl, jr
+            P(), P(), P(),            # cut1, cut2, waves
+            P(), P(), P(),            # mean_t, std_t, sqrt_wt
+            P("data", None, None),    # targets
+            P("data"),                # lengths
+            P(), P(),                 # jcw, eps
+        ),
+        out_specs=(
+            P("data", None),          # unit_ids
+            P("data"),                # costs
+            P("data", None),          # audio
+            P("data"),                # total samples
+        ),
+        check_vma=False,
+    )(voice.feats, voice.jl, voice.jr, voice.cut1, voice.cut2, voice.waves,
+      voice.mean_t, voice.std_t, voice.sqrt_wt, targets, lengths, jcw, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def sharded_norm_stats(unit_features: jax.Array, n_units: jax.Array, *, mesh: Mesh):
+    """DB-building collective: per-dim mean/std over row-sharded unit
+    features (padded rows zeroed by caller), via psum over BOTH mesh axes.
+
+    This is the training-side analogue of the reference trainer's
+    whole-corpus mean/std pass (SURVEY.md §3.1), expressed as the standard
+    sum/sumsq psum pattern.
+    """
+    def shard_fn(feats_shard, n):
+        s = jnp.sum(feats_shard, axis=0)
+        ss = jnp.sum(feats_shard * feats_shard, axis=0)
+        s = jax.lax.psum(jax.lax.psum(s, "db"), "data")
+        ss = jax.lax.psum(jax.lax.psum(ss, "db"), "data")
+        mean = s / n
+        var = jnp.maximum(ss / n - mean * mean, 0.0)
+        return mean, jnp.sqrt(jnp.maximum(var, 1e-16))
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(("data", "db"), None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(unit_features, n_units)
