@@ -49,6 +49,7 @@ class SnickeryConfig:
     greedy_search: bool = False             # greedy online selection variant
     magphase_use_target_f0: bool = True
     magphase_overlap: int = 0
+    magphase_smooth_joins: int = 0          # frames of join smoothing (0 = off)
 
     # ---- waveform generation ----
     taper_length: int = 50                  # samples of Hann taper for OLA joins

@@ -17,10 +17,12 @@ from snickery_tpu.features.magphase import (
     magphase_synthesis,
 )
 from snickery_tpu.features.epochs import detect_epochs, f0_from_epochs
+from snickery_tpu.features.smoothing import smooth_joins
 
 __all__ = [
     "frame_signal", "stft", "istft", "hann",
     "mel_filterbank", "mfcc", "log_mel_spectrogram",
     "magphase_analysis", "magphase_synthesis",
     "detect_epochs", "f0_from_epochs",
+    "smooth_joins",
 ]

@@ -25,7 +25,7 @@ from snickery_tpu import utils
 from snickery_tpu.config import SnickeryConfig
 from snickery_tpu.const import BIG_PENALTY
 from snickery_tpu.ops.ola import overlap_add_units
-from snickery_tpu.ops.topk import topk_preselect, quinphone_penalties
+from snickery_tpu.ops.topk import topk_preselect
 from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
 from snickery_tpu.voicedb.db import VoiceDB
 
@@ -91,11 +91,9 @@ def synth_pipeline_step(
     live = t_idx < length
     tw = jnp.where(live[:, None], tw, 0.0)
 
-    extra = None
-    if halfphone:
-        extra = quinphone_penalties(tgt_codes, tgt_ctx, db.codes, db.ctx)
+    ling = (tgt_codes, tgt_ctx, db.codes, db.ctx) if halfphone else None
     cand_idx, scores = topk_preselect(
-        tw, db.feats, k=n_cand, chunk=chunk, extra_scores=extra)
+        tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling)
     tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
     if halfphone:
         # linguistic penalties pollute the scores; recompute exact acoustic
@@ -209,6 +207,8 @@ class Synthesiser:
         self.max_frag = utils.next_multiple(self.max_span + 2 * cfg.taper_length, 128)
         self._unit_vocab = {n: i for i, n in enumerate(db.unit_names)}
         self._phone_vocab = {n: i for i, n in enumerate(db.phone_names)}
+        self._mesh = None
+        self._sharded_voice = None
 
     # ------------------------------------------------------- target assembly
     def targets_from_features(self, features: np.ndarray) -> tuple[np.ndarray, int]:
@@ -297,6 +297,58 @@ class Synthesiser:
             "n_units": int(t_units),
         }
 
+    def synth_batch(self, feature_list: list[np.ndarray], greedy: bool = False) -> list[dict]:
+        """Batched multi-utterance synthesis (epoch mode) in one device step.
+
+        Pads all utterances to a shared T bucket and runs the sharded batch
+        step on a 1x1 mesh (the same compiled program scales to multi-chip
+        meshes — see snickery_tpu.parallel).  Returns one result dict per
+        utterance, identical in content to ``synth_from_features``.
+        """
+        from snickery_tpu.parallel import batched_synth_step, make_mesh, shard_voice
+
+        cfg = self.cfg
+        if self.db.target_representation == "halfphone":
+            raise NotImplementedError("synth_batch currently supports epoch mode")
+        if greedy:
+            raise NotImplementedError("synth_batch uses Viterbi decoding")
+        prepped = [self.targets_from_features(f) for f in feature_list]
+        t_max = max(n for _, n in prepped)
+        t_bucket = utils.bucket_length(t_max, tuple(cfg.length_buckets))
+        B = len(prepped)
+        tgts = np.zeros((B, t_bucket, self.db.target_dim), np.float32)
+        lengths = np.zeros(B, np.int32)
+        for b, (tu, n) in enumerate(prepped):
+            tgts[b, :n] = tu
+            lengths[b] = n
+
+        if self._mesh is None:
+            self._mesh = make_mesh(1, 1, devices=[jax.devices()[0]])
+            ddb = self.device_db
+            self._sharded_voice = shard_voice(
+                self._mesh, ddb.feats, ddb.jl, ddb.jr, ddb.cut1, ddb.cut2,
+                ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt)
+        out_len = utils.next_multiple(
+            t_bucket * self.max_span + 2 * cfg.taper_length, 128)
+        with self.timer.stage("synth_batch_step"):
+            unit_ids, costs, audio, totals = jax.device_get(batched_synth_step(
+                self._sharded_voice, jnp.asarray(tgts), jnp.asarray(lengths),
+                jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
+                mesh=self._mesh,
+                n_cand=min(cfg.n_candidates, self.n_units_padded),
+                chunk=self.chunk, max_frag=self.max_frag,
+                out_len=out_len, taper=cfg.taper_length))
+        results = []
+        for b in range(B):
+            n = int(lengths[b])
+            results.append({
+                "wave": np.asarray(audio[b, : int(totals[b])]),
+                "unit_ids": np.asarray(unit_ids[b, :n]),
+                "total_cost": float(costs[b]),
+                "n_units": n,
+            })
+        return results
+
     def halfphone_targets_from_features(
         self, features: np.ndarray, epochs: np.ndarray, segments: list
     ) -> tuple[np.ndarray, list]:
@@ -330,11 +382,16 @@ class Synthesiser:
 
     def resynth_magphase(self, unit_ids: np.ndarray, target_lf0: np.ndarray | None = None) -> np.ndarray:
         """Magphase resynthesis path (reference's magphase output mode with
-        optional target-F0 imposition, SURVEY.md §2 row 5)."""
+        optional target-F0 imposition and join smoothing, SURVEY.md §2 row 5)."""
         from snickery_tpu.features.magphase import magphase_synthesis
 
         cfg = self.cfg
         traj = self.selected_features(unit_ids)
+        if cfg.magphase_smooth_joins > 0:
+            from snickery_tpu.features.smoothing import smooth_joins
+            traj = np.asarray(smooth_joins(
+                jnp.asarray(traj), self.frames_per_unit,
+                width=cfg.magphase_smooth_joins))
         streams = {}
         for name, a, b in cfg.stream_slices:
             streams[name] = traj[:, a:b]

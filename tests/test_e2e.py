@@ -142,3 +142,46 @@ def test_voicedb_save_load_roundtrip(tmp_path, epoch_voice):
     r1 = synth.synth_from_features(utt.features)
     r2 = synth2.synth_from_features(utt.features)
     np.testing.assert_array_equal(r1["unit_ids"], r2["unit_ids"])
+
+
+def test_synth_batch_matches_single(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    feats = [utts[0].features, utts[1].features, utts[2].features]
+    batch = synth.synth_batch(feats)
+    assert len(batch) == 3
+    for f, res in zip(feats, batch):
+        single = synth.synth_from_features(f)
+        agree = (res["unit_ids"] == single["unit_ids"]).mean()
+        assert agree >= 0.99, f"batch-vs-single agreement {agree}"
+        assert res["n_units"] == single["n_units"]
+
+
+def test_join_smoothing_resynthesis(epoch_voice):
+    import dataclasses
+    cfg, db, utts, synth = epoch_voice
+    utt = utts[0]
+    result = synth.synth_from_features(utt.features)
+    plain = synth.resynth_magphase(result["unit_ids"])
+    synth.cfg.magphase_smooth_joins = 2
+    try:
+        smoothed = synth.resynth_magphase(result["unit_ids"])
+    finally:
+        synth.cfg.magphase_smooth_joins = 0
+    # smoothing perturbs lf0 slightly -> epoch grid (and total length) shifts
+    assert abs(len(smoothed) - len(plain)) < 0.05 * len(plain) + 1000
+    assert np.isfinite(smoothed).all()
+
+
+def test_smooth_joins_preserves_interiors(rng):
+    import jax.numpy as jnp
+    from snickery_tpu.features import smooth_joins
+    k, width = 8, 2
+    traj = rng.standard_normal((5 * k, 6)).astype(np.float32)
+    out = np.asarray(smooth_joins(jnp.asarray(traj), k, width=width))
+    # frames far from any join are untouched
+    far = np.ones(len(traj), bool)
+    for j in range(k, len(traj), k):
+        far[j - width: j + width] = False
+    np.testing.assert_allclose(out[far], traj[far], atol=1e-6)
+    # near-join frames move
+    assert np.abs(out[~far] - traj[~far]).max() > 0

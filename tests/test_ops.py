@@ -111,3 +111,29 @@ def test_ola_padded_units_ignored(rng):
         n_units=jnp.int32(2), max_frag=1024, out_len=2048, taper=16)
     assert int(total) == int(total2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_topk_fused_linguistic_matches_dense(rng):
+    import jax.numpy as jnp
+    from snickery_tpu.ops.topk import quinphone_penalties
+
+    T, M, d, k = 16, 1024, 12, 8
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    tgt_codes = rng.integers(0, 5, T).astype(np.int32)
+    tgt_ctx = rng.integers(0, 4, (T, 5)).astype(np.int32)
+    db_codes = rng.integers(0, 5, M).astype(np.int32)
+    db_ctx = rng.integers(0, 4, (M, 5)).astype(np.int32)
+
+    dense = quinphone_penalties(
+        jnp.asarray(tgt_codes), jnp.asarray(tgt_ctx),
+        jnp.asarray(db_codes), jnp.asarray(db_ctx))
+    idx_d, sc_d = topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, chunk=256,
+        extra_scores=dense)
+    idx_f, sc_f = topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, chunk=256,
+        linguistic=(jnp.asarray(tgt_codes), jnp.asarray(tgt_ctx),
+                    jnp.asarray(db_codes), jnp.asarray(db_ctx)))
+    np.testing.assert_array_equal(np.asarray(idx_d), np.asarray(idx_f))
+    np.testing.assert_allclose(np.asarray(sc_d), np.asarray(sc_f), rtol=1e-5)
