@@ -121,6 +121,10 @@ def topk_preselect(
     # linguistic = (tgt_codes (T,), tgt_ctx (T,5), db_codes (M,), db_ctx (M,5)):
     # quinphone penalties computed chunk-by-chunk inside the scan (scales to
     # million-unit DBs, unlike a dense (T, M) extra_scores matrix).
+    partition: tuple | None = None,
+    # partition = (tgt_part (T,), db_part (M,)): hard-restrict candidates to
+    # rows whose partition id matches the target's (multi-voice DBs: each
+    # utterance selects only from its own voice).  Fused per chunk.
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k nearest DB rows per target frame (exact).
 
@@ -148,29 +152,37 @@ def topk_preselect(
             db_codes.reshape(n_chunks, chunk),
             db_ctx.reshape(n_chunks, chunk, db_ctx.shape[-1]),
         )
+    part = None
+    if partition is not None:
+        tgt_part, db_part = partition
+        part = (tgt_part, db_part.reshape(n_chunks, chunk))
 
     def step(carry, inputs):
-        if extra is None and ling is None:
-            ci, db_c, sq_c = inputs
-            scores = _chunk_scores(targets, db_c, sq_c)
-        elif ling is None:
-            ci, db_c, sq_c, ex_c = inputs
-            scores = _chunk_scores(targets, db_c, sq_c) + ex_c
-        else:
-            ci, db_c, sq_c, code_c, ctx_c = inputs
-            scores = _chunk_scores(targets, db_c, sq_c) + quinphone_penalties(
-                ling[0], ling[1], code_c, ctx_c)
+        inputs = list(inputs)
+        ci, db_c, sq_c = inputs[:3]
+        rest = inputs[3:]
+        scores = _chunk_scores(targets, db_c, sq_c)
+        if extra is not None:
+            scores = scores + rest.pop(0)
+        if ling is not None:
+            code_c, ctx_c = rest.pop(0), rest.pop(0)
+            scores = scores + quinphone_penalties(ling[0], ling[1], code_c, ctx_c)
+        if part is not None:
+            part_c = rest.pop(0)
+            scores = scores + jnp.where(
+                part[0][:, None] != part_c[None, :], BIG_PENALTY, 0.0)
         vals, cols = _chunk_topk_hier(scores, k, block)
         return carry, (vals, cols + ci * chunk)
 
     chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
+    xs = [chunk_ids, db_chunks, sqnorms]
+    if extra is not None:
+        xs.append(extra)
     if ling is not None:
-        xs = (chunk_ids, db_chunks, sqnorms, ling[2], ling[3])
-    elif extra is not None:
-        xs = (chunk_ids, db_chunks, sqnorms, extra)
-    else:
-        xs = (chunk_ids, db_chunks, sqnorms)
-    _, (vals, cols) = jax.lax.scan(step, 0, xs)
+        xs.extend([ling[2], ling[3]])
+    if part is not None:
+        xs.append(part[1])
+    _, (vals, cols) = jax.lax.scan(step, 0, tuple(xs))
     if n_chunks == 1:
         return cols[0], vals[0]
     # (n_chunks, T, k) -> (T, n_chunks * k); final exact merge

@@ -46,10 +46,12 @@ class ShardedVoice(NamedTuple):
     mean_t: jax.Array     # (D,)  replicated
     std_t: jax.Array      # (D,)  replicated
     sqrt_wt: jax.Array    # (D,)  replicated
+    part: jax.Array       # (Mp,) per-unit voice/partition id, row-sharded over "db"
+                          # (all-zero for single-voice DBs)
 
 
 def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
-                sqrt_wt) -> ShardedVoice:
+                sqrt_wt, part=None) -> ShardedVoice:
     """Place padded DB arrays onto the mesh with the layout above.
 
     ``feats`` must have rows divisible by the db-axis size.
@@ -67,11 +69,15 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
         mean_t=put(jnp.asarray(mean_t, jnp.float32), repl),
         std_t=put(jnp.asarray(std_t, jnp.float32), repl),
         sqrt_wt=put(jnp.asarray(sqrt_wt, jnp.float32), repl),
+        part=put(jnp.asarray(
+            part if part is not None else np.zeros(np.shape(feats)[0], np.int32),
+            jnp.int32), NamedSharding(mesh, P("db"))),
     )
 
 
 def _select_decode_batch(
-    feats_shard, jl, jr, targets, lengths, *, n_cand, chunk, jcw, eps, db_axis
+    feats_shard, jl, jr, part_shard, targets, lengths, voice_ids,
+    *, n_cand, chunk, jcw, eps, db_axis
 ):
     """Batched selection on one device: the whole local batch's target frames
     are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
@@ -85,7 +91,10 @@ def _select_decode_batch(
     tw_flat = tw.reshape(B * T, D)
 
     k_local = min(n_cand, m_local)
-    idx_local, scores_local = topk_preselect(tw_flat, feats_shard, k=k_local, chunk=chunk)
+    tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)            # (B*T,)
+    idx_local, scores_local = topk_preselect(
+        tw_flat, feats_shard, k=k_local, chunk=chunk,
+        partition=(tgt_part, part_shard))
     shard_id = jax.lax.axis_index(db_axis)
     idx_global = idx_local + shard_id * m_local
 
@@ -128,6 +137,7 @@ def batched_synth_step(
     lengths: jax.Array,       # (B,) int32
     jcw: jax.Array,           # scalar
     eps: jax.Array,           # scalar
+    voice_ids: jax.Array | None = None,   # (B,) voice id per utterance
     *,
     mesh: Mesh,
     n_cand: int,
@@ -142,15 +152,17 @@ def batched_synth_step(
     total_samples (B,)).
     """
     db_axis = "db"
+    if voice_ids is None:
+        voice_ids = jnp.zeros(targets.shape[0], jnp.int32)
 
     def shard_fn(feats_shard, jl, jr, cut1, cut2, waves, mean_t, std_t,
-                 sqrt_wt, tgt_local, len_local, jcw_, eps_):
+                 sqrt_wt, part_shard, tgt_local, len_local, vid_local, jcw_, eps_):
         # tgt_local: (B_local, T, D)
         tw = (tgt_local - mean_t[None, None, :]) / std_t[None, None, :]
         tw = tw * sqrt_wt[None, None, :]
 
         unit_ids, costs = _select_decode_batch(
-            feats_shard, jl, jr, tw, len_local,
+            feats_shard, jl, jr, part_shard, tw, len_local, vid_local,
             n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis)
 
         def ola_one(ids, len_one):
@@ -169,8 +181,10 @@ def batched_synth_step(
             P(), P(),                 # jl, jr
             P(), P(), P(),            # cut1, cut2, waves
             P(), P(), P(),            # mean_t, std_t, sqrt_wt
+            P("db"),                  # part (voice ids, row-sharded)
             P("data", None, None),    # targets
             P("data"),                # lengths
+            P("data"),                # voice_ids
             P(), P(),                 # jcw, eps
         ),
         out_specs=(
@@ -181,7 +195,8 @@ def batched_synth_step(
         ),
         check_vma=False,
     )(voice.feats, voice.jl, voice.jr, voice.cut1, voice.cut2, voice.waves,
-      voice.mean_t, voice.std_t, voice.sqrt_wt, targets, lengths, jcw, eps)
+      voice.mean_t, voice.std_t, voice.sqrt_wt, voice.part,
+      targets, lengths, voice_ids, jcw, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))

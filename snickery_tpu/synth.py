@@ -123,6 +123,49 @@ def synth_pipeline_step(
     return unit_ids, total_cost, audio, total_samples
 
 
+@functools.partial(jax.jit, static_argnames=("n_cand", "chunk"))
+def _streaming_step(
+    db: DeviceDB,
+    targets: jax.Array,      # (T, D) unit-rate targets (padded)
+    length: jax.Array,       # scalar int32
+    init_ctx: jax.Array,     # (dj,) running join context from previous chunk
+    jcw_first: jax.Array,    # join weight for the first step (0 at stream start)
+    jcw_rest: jax.Array,     # join weight once a context exists
+    *,
+    n_cand: int,
+    chunk: int,
+):
+    """One streaming-decode step: preselect + greedy decode with an
+    incoming join context; returns (unit ids (T,), outgoing context (dj,))."""
+    T = targets.shape[0]
+    tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
+    tw = tnorm * db.sqrt_wt[None, :]
+    live = jnp.arange(T, dtype=jnp.int32) < length
+    tw = jnp.where(live[:, None], tw, 0.0)
+    cand_idx, scores = topk_preselect(tw, db.feats, k=n_cand, chunk=chunk)
+    tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
+    target_costs = jnp.where(live[:, None],
+                             jnp.sqrt(jnp.maximum(scores + tsq, 0.0)), 0.0)
+    jl_cand = db.jl[cand_idx]
+    jr_cand = db.jr[cand_idx]
+
+    def step(carry, inp):
+        ctx, w = carry
+        tc_t, jl_t, jr_t, live_t = inp
+        dist = jnp.sqrt(jnp.maximum(
+            jnp.sum((jl_t - ctx[None, :]) ** 2, axis=-1), 0.0))
+        total = tc_t + jnp.where(live_t, w * dist, 0.0)
+        choice = jnp.argmin(total).astype(jnp.int32)
+        new_ctx = jnp.where(live_t, jr_t[choice], ctx)
+        new_w = jnp.where(live_t, jcw_rest, w)   # context exists from now on
+        return (new_ctx, new_w), choice
+
+    (ctx_out, _), path = jax.lax.scan(
+        step, (init_ctx, jcw_first), (target_costs, jl_cand, jr_cand, live))
+    unit_ids = jnp.take_along_axis(cand_idx, path[:, None], axis=1)[:, 0]
+    return jnp.where(live, unit_ids, 0), ctx_out
+
+
 class Synthesiser:
     """Loads a VoiceDB and synthesises utterances on TPU.
 
@@ -348,6 +391,60 @@ class Synthesiser:
                 "n_units": n,
             })
         return results
+
+    def synth_streaming(self, feature_chunks, greedy: bool = True):
+        """Streaming synthesis: consume epoch-rate feature chunks, yield
+        audio chunks as soon as their units are decided.
+
+        BASELINE.json config #4 ("DNN-predicted target features + join
+        costs, streaming synthesis").  Decoding is greedy-online per chunk
+        with the join context carried across chunk boundaries (the reference
+        greedy_search variant generalised to a stream); each yielded audio
+        chunk is OLA-complete except for its trailing taper, which is summed
+        into the next chunk.
+
+        ``feature_chunks``: iterable of (n_epochs_i, d) arrays.
+        Yields float32 audio arrays.
+        """
+        cfg = self.cfg
+        if self.db.target_representation == "halfphone":
+            raise NotImplementedError("streaming synthesis is epoch-mode only")
+        k = self.frames_per_unit
+        d = cfg.target_dim
+        ddb = self.device_db
+        ctx = None                          # running join context (dj,)
+        tail = np.zeros(2 * cfg.taper_length, np.float32)
+        leftover = np.zeros((0, d), np.float32)
+        n_cand = min(cfg.n_candidates, self.n_units_padded)
+
+        for chunk_feats in feature_chunks:
+            feats = np.concatenate([leftover, np.asarray(chunk_feats, np.float32)])
+            t_units = len(feats) // k
+            if t_units == 0:
+                leftover = feats
+                continue
+            leftover = feats[t_units * k:]
+            tgt = feats[: t_units * k].reshape(t_units, k * d)
+            t_bucket = utils.bucket_length(t_units, tuple(cfg.length_buckets))
+            tgt_pad = np.pad(tgt, ((0, t_bucket - t_units), (0, 0)))
+            unit_ids, ctx = _streaming_step(
+                ddb, jnp.asarray(tgt_pad), jnp.int32(t_units),
+                (jnp.zeros((ddb.jl.shape[1],), jnp.float32) if ctx is None else ctx),
+                jnp.float32(0.0 if ctx is None else cfg.join_cost_weight),
+                jnp.float32(cfg.join_cost_weight),
+                n_cand=n_cand, chunk=self.chunk)
+            unit_ids = np.asarray(jax.device_get(unit_ids))[:t_units]
+            # render this chunk's audio on host (chunk sizes are small and
+            # latency matters more than throughput here)
+            cut1 = self.db.cutpoints[unit_ids, 1]
+            cut2 = self.db.cutpoints[unit_ids, 2]
+            from snickery_tpu.oracle import overlap_add
+            audio = overlap_add(self.db.waves, cut1, cut2, cfg.taper_length)
+            t2 = 2 * cfg.taper_length
+            audio[:t2] += tail
+            tail = audio[-t2:].copy()
+            yield audio[:-t2]
+        yield tail
 
     def halfphone_targets_from_features(
         self, features: np.ndarray, epochs: np.ndarray, segments: list

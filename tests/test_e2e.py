@@ -185,3 +185,19 @@ def test_smooth_joins_preserves_interiors(rng):
     np.testing.assert_allclose(out[far], traj[far], atol=1e-6)
     # near-join frames move
     assert np.abs(out[~far] - traj[~far]).max() > 0
+
+
+def test_streaming_matches_greedy(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    utt = utts[1]
+    # streaming in 3 chunks vs one-shot greedy decode
+    feats = utt.features[1:-1]          # align with targets_from_features grid
+    n = len(feats)
+    chunks = [feats[: n // 3], feats[n // 3: 2 * n // 3], feats[2 * n // 3:]]
+    stream_audio = np.concatenate(list(synth.synth_streaming(iter(chunks))))
+    ref = synth.synth_from_features(utt.features, greedy=True)
+    # same number of decoded units and near-identical audio
+    assert abs(len(stream_audio) - len(ref["wave"])) <= 2 * cfg.taper_length
+    m = min(len(stream_audio), len(ref["wave"]))
+    corr = np.corrcoef(stream_audio[:m], ref["wave"][:m])[0, 1]
+    assert corr > 0.98, f"streaming-vs-greedy corr {corr}"

@@ -1,0 +1,81 @@
+"""Multi-voice merged DB: batch-mixed voices select only own-voice units."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from snickery_tpu import utils
+from snickery_tpu.parallel import batched_synth_step, make_mesh, shard_voice
+from snickery_tpu.synth import Synthesiser, _stream_weight_vector
+from snickery_tpu.voicedb.multivoice import merge_voicedbs
+from tests.toyvoice import build_toy_voice
+
+
+@pytest.fixture(scope="module")
+def two_voices():
+    cfg_a, db_a, utts_a = build_toy_voice(halfphone=False, n_utts=2)
+    cfg_b, db_b, utts_b = build_toy_voice(halfphone=False, n_utts=2)
+    # make voice B genuinely different material
+    for u in utts_b:
+        u.wave = u.wave * 0.8
+    merged = merge_voicedbs([db_a, db_b], names=["alice", "bob"])
+    return cfg_a, merged, (utts_a, utts_b), (db_a, db_b)
+
+
+def test_merge_counts(two_voices):
+    cfg, merged, (utts_a, utts_b), (db_a, db_b) = two_voices
+    assert merged.n_units == db_a.n_units + db_b.n_units
+    assert merged.unit_names == ["alice", "bob"]
+    assert (merged.unit_code[: db_a.n_units] == 0).all()
+    assert (merged.unit_code[db_a.n_units:] == 1).all()
+    assert len(merged.waves) == len(db_a.waves) + len(db_b.waves)
+
+
+def test_multivoice_batch_respects_partition(two_voices):
+    cfg, merged, (utts_a, utts_b), (db_a, db_b) = two_voices
+    mesh = make_mesh(2, 4)   # 8 virtual cpu devices: 2 data x 4 db shards
+
+    chunk = 512
+    mp = utils.next_multiple(merged.n_units, chunk * 4)
+    feats = (merged.normalised_features().astype(np.float32))
+    sw = np.sqrt(np.tile(_stream_weight_vector(cfg, cfg.target_stream_weights),
+                         merged.multiepoch)).astype(np.float32)
+    feats = feats * sw[None, :]
+    pad = mp - merged.n_units
+    feats = np.pad(feats, ((0, pad), (0, 0)), constant_values=1e6)
+    jl, jr = merged.normalised_joins()
+    jl = np.pad(jl.astype(np.float32), ((0, pad), (0, 0)))
+    jr = np.pad(jr.astype(np.float32), ((0, pad), (0, 0)))
+    cut1 = np.pad(merged.cutpoints[:, 1].astype(np.int32), (0, pad))
+    cut2 = np.pad(merged.cutpoints[:, 2].astype(np.int32), (0, pad))
+    part = np.pad(merged.unit_code.astype(np.int32), (0, pad), constant_values=-1)
+
+    sv = shard_voice(mesh, feats, jl, jr, cut1, cut2,
+                     merged.waves.astype(np.float32),
+                     merged.mean_target, merged.std_target, sw, part=part)
+
+    # batch: 2 utts targeting alice, 2 targeting bob (same feature content)
+    B, T = 4, 256
+    d = merged.target_dim
+    tgts = np.zeros((B, T, d), np.float32)
+    lengths = np.zeros(B, np.int32)
+    vids = np.array([0, 0, 1, 1], np.int32)
+    src = [utts_a[0], utts_a[1], utts_b[0], utts_b[1]]
+    for b, utt in enumerate(src):
+        usable = utt.features[1:-1][:T]
+        tgts[b, :len(usable)] = usable
+        lengths[b] = len(usable)
+
+    out_len = utils.next_multiple(T * 200 + 100, 128)
+    unit_ids, costs, audio, totals = batched_synth_step(
+        sv, jnp.asarray(tgts), jnp.asarray(lengths),
+        jnp.float32(1.0), jnp.float32(0.0), jnp.asarray(vids),
+        mesh=mesh, n_cand=8, chunk=chunk, max_frag=512,
+        out_len=out_len, taper=cfg.taper_length)
+    unit_ids = np.asarray(unit_ids)
+    for b in range(B):
+        n = lengths[b]
+        got_voice = merged.unit_code[unit_ids[b, :n]]
+        assert (got_voice == vids[b]).all(), f"utt {b} leaked across voices"
+    assert np.isfinite(np.asarray(costs)).all()
+    assert (np.asarray(totals) > 1000).all()
