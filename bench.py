@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--quick", action="store_true", help="small shapes (smoke test)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="use the XLA preselect instead of the Pallas kernel")
     ap.add_argument("--sample-rate", type=int, default=16000)
     args = ap.parse_args(argv)
 
@@ -75,7 +77,8 @@ def main(argv=None) -> int:
         return batched_synth_step(
             sv, targets, lengths, jnp.float32(0.7), jnp.float32(0.0),
             mesh=mesh, n_cand=args.n_candidates, chunk=args.chunk,
-            max_frag=512, out_len=out_len, taper=taper)
+            max_frag=512, out_len=out_len, taper=taper,
+            use_pallas=not args.no_pallas)
 
     def sync(out):
         # block_until_ready is a no-op on the axon async runtime; a host

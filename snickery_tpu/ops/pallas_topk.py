@@ -4,26 +4,32 @@ THE north-star kernel (BASELINE.json): "KD-tree candidate preselection is
 replaced by brute-force fused top-k over the unit database via a Pallas
 tiled-distance kernel".
 
-Design (one kernel, no HBM score materialisation):
-- grid = (T/T_TILE, M/CHUNK); the DB-chunk axis is innermost, so per-row
-  running top-k state lives in VMEM scratch across chunk steps,
-- per step: (T_TILE, d) x (d, CHUNK) distance matmul on the MXU ->
-  (T_TILE, CHUNK) scores held in VMEM,
-- scores fold into CHUNK/128 lane-aligned blocks (Mosaic only supports
-  lane-dim splits at 128); per-block minima on the VPU,
-- "promote" selection loop, k rounds: pick the globally best block per row
-  (first-argmin), extract its 128 members by one-hot reduction, record the
-  block's min element, then write the block's *second* minimum back into
-  the block-min table so later rounds see the next-best element.  This is
-  exact for any distribution of the top-k across blocks (a block holding
-  p of the top-k gets picked p times),
-- per chunk, the k new elements merge into the carried (T_TILE, k) state by
-  a final argmin-iteration over 2k entries; the last chunk step writes the
-  state out.
+Layout and algorithm (chosen against measured Mosaic/axon behaviour):
+
+- TRANSPOSED scores: the per-step matmul computes (CHUNK, T_TILE) =
+  db_tile @ targets_tile^T, so the DB axis is the LEADING dim and folding
+  into BLOCK=8 sub-blocks is a free leading-dim reshape (Mosaic only allows
+  lane-dim splits at 128, but leading-dim splits at any granularity).
+  Small blocks (NB = CHUNK/8 = 512 >> k) make one selection phase almost
+  always sufficient.
+- Phase loop (while_loop, exact): per phase compute per-block min + in-block
+  argmin (constant full passes over the chunk scores, which never leave
+  VMEM), pick ``PICKS_PER_PHASE`` best distinct blocks per target row by
+  argmin-iteration over the NB-wide block-min table, merge the picks into
+  the carried top-k state (the merge is SKIPPED via lax.cond when no pick
+  beats the current k-th best — the common case once the state warms up),
+  mask the extracted elements, and repeat until the k-th best is strictly
+  below every remaining block minimum.  Exact for any distribution of the
+  top-k across blocks.
+- Scalar-loop iterations are the dominant cost on this hardware
+  (~0.5 us each in Mosaic); the design point (8 picks/phase, gated k-wide
+  merge, NB >> k) minimises iteration count rather than vector work.
 
 First-minimum tie-breaking (lowest index) everywhere, matching np.argmin
-and the float64 oracle.  Scores are squared weighted Euclidean distances
-minus the per-row ||t||^2 constant (monotonic — identical ranking).
+and the float64 oracle, except among exactly-equal values discovered in
+different phases (identical duplicated units — harmless).  Scores are
+squared weighted Euclidean distances minus the per-row ||t||^2 constant
+(monotonic — identical ranking).
 
 The XLA fallback (ops.topk.topk_preselect) computes the same thing; this
 kernel exists because XLA's top_k sorts and per-row gathers dominate the
@@ -41,17 +47,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_TILE = 128       # target rows per grid step
-CHUNK = 4096       # DB rows per grid step
-BLOCK = 128        # hierarchy fold width (must be 128: lane-aligned reshape)
+T_TILE = 256       # target rows per grid step (VMEM-bounded: the
+                   # while-carried fold array is multi-buffered by Mosaic)
+CHUNK = 2048       # DB rows per grid step
+BLOCK = 8          # sub-block fold width (leading-dim split: any granularity)
 NB = CHUNK // BLOCK
+PICKS_PER_PHASE = 8
 
 
-def _first_argmin(vals, iota, width):
-    """(min, first-argmin) along axis 1 without lax.argmin."""
-    m = jnp.min(vals, axis=1)
-    eq = vals == m[:, None]
-    idx = jnp.min(jnp.where(eq, iota, width), axis=1)
+def _first_argmin_cols(vals, iota0, height):
+    """(min, first-argmin) along axis 0 (the leading/DB axis)."""
+    m = jnp.min(vals, axis=0)
+    eq = vals == m[None, :]
+    idx = jnp.min(jnp.where(eq, iota0, height), axis=0)
     return m, idx.astype(jnp.int32)
 
 
@@ -62,108 +70,94 @@ def _topk_kernel(k: int, n_chunks: int,
 
     @pl.when(j == 0)
     def _():
-        state_vals[:] = jnp.full((T_TILE, k), jnp.inf, jnp.float32)
-        state_cols[:] = jnp.zeros((T_TILE, k), jnp.int32)
+        state_vals[:] = jnp.full((k, T_TILE), jnp.inf, jnp.float32)
+        state_cols[:] = jnp.zeros((k, T_TILE), jnp.int32)
 
     tgt = tgt_ref[:]                                   # (T_TILE, d)
     db = db_ref[:]                                     # (CHUNK, d)
     cross = jax.lax.dot_general(
-        tgt, db, dimension_numbers=(((1,), (1,)), ((), ())),
+        db, tgt, dimension_numbers=(((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)            # (T_TILE, CHUNK)
-    s = sqn_ref[0] - 2.0 * cross                       # (1, CHUNK) broadcasts
+        preferred_element_type=jnp.float32)            # (CHUNK, T_TILE)
+    s = sqn_ref[0] - 2.0 * cross                       # (CHUNK, 1) broadcasts
 
-    folded = s.reshape(T_TILE, NB, BLOCK)              # lane-aligned split
-    bm = jnp.min(folded, axis=2)                       # (T_TILE, NB)
-    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, NB), 1)
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, BLOCK), 1)
-    # 3D iotas: Mosaic cannot insert a minor dim on i1 vectors, so boolean
-    # masks must be built at full 3D shape from int comparisons.
-    iota3_b = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, NB, BLOCK), 2)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, k), 1)
+    folded = s.reshape(NB, BLOCK, T_TILE)              # free leading-dim split
+    iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (NB, T_TILE), 0)
+    iota3_blk = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK, T_TILE), 1)
+    iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, T_TILE), 0)
     base_col = j * CHUNK
 
-    # Phase-based exact selection.  Each phase:
-    #   1. (re)compute per-block min + in-block argmin (O(1) passes over the
-    #      chunk scores — the only full-width work),
-    #   2. pick the k best DISTINCT blocks by argmin-iteration over the
-    #      NB-wide block-min table (cheap: NB lanes, k rounds); each picked
-    #      block contributes its current minimum element,
-    #   3. merge those k candidates into the running (T_TILE, k) result,
-    #   4. mask every extracted element out of the scores in ONE 3D pass
-    #      (a picked block loses exactly its current argmin),
-    #   5. stop when the k-th best result is <= every remaining block min
-    #      (then no unseen element can displace anything) — expected after
-    #      1-2 phases; worst case (all top-k in one block) k phases.
-    #
-    # Unlike per-element "promote" iteration, no step touches the full
-    # (NB x BLOCK) scores more than a constant number of times per phase.
-    # carried result starts from the cross-chunk state (merging as we go)
     def phase_cond(carry):
         fold, res_v, res_c, phase, done = carry
+        # worst case one block holds all top-k: each phase then extracts
+        # a single useful element, so up to k phases may be needed
         return jnp.logical_and(phase < k, jnp.logical_not(done))
 
     def phase_body(carry):
         fold, res_v, res_c, phase, _ = carry
-        bm = jnp.min(fold, axis=2)                                 # (T, NB)
-        bai = jnp.min(jnp.where(fold == bm[:, :, None], iota3_b, BLOCK),
-                      axis=2).astype(jnp.int32)                    # (T, NB)
+        bm = jnp.min(fold, axis=1)                                 # (NB, T)
+        bai = jnp.min(jnp.where(fold == bm[:, None, :], iota3_blk, BLOCK),
+                      axis=1).astype(jnp.int32)                    # (NB, T)
 
         def pick(it, st):
             wbm, sel_nb, nv, nc = st
-            m, b = _first_argmin(wbm, iota_nb, NB)
-            onehot = iota_nb == b[:, None]
-            mi = jnp.sum(jnp.where(onehot, bai, 0), axis=1)        # in-block argmin
+            m, b = _first_argmin_cols(wbm, iota0_nb, NB)           # (T,), (T,)
+            onehot = iota0_nb == b[None, :]                        # (NB, T)
+            mi = jnp.sum(jnp.where(onehot, bai, 0), axis=0)        # (T,)
             col = b * BLOCK + mi + base_col
-            ksel = iota_k == it
-            nv = jnp.where(ksel, m[:, None], nv)
-            nc = jnp.where(ksel, col[:, None], nc)
+            ksel = iota_k0 == it
+            nv = jnp.where(ksel, m[None, :], nv)
+            nc = jnp.where(ksel, col[None, :], nc)
             return (jnp.where(onehot, jnp.inf, wbm),
                     jnp.maximum(sel_nb, onehot.astype(jnp.int32)), nv, nc)
 
-        nk = min(k, NB)
-        wbm, sel_nb, nv, nc = jax.lax.fori_loop(
-            0, nk, pick,
-            (bm, jnp.zeros((T_TILE, NB), jnp.int32),
-             jnp.full((T_TILE, k), jnp.inf, jnp.float32),
-             jnp.zeros((T_TILE, k), jnp.int32)))
+        npick = min(PICKS_PER_PHASE, k, NB)
+        _, sel_nb, nv, nc = jax.lax.fori_loop(
+            0, npick, pick,
+            (bm, jnp.zeros((NB, T_TILE), jnp.int32),
+             jnp.full((k, T_TILE), jnp.inf, jnp.float32),
+             jnp.zeros((k, T_TILE), jnp.int32)))
 
-        # merge the phase's candidates into the running result (width 2k)
-        width = 2 * k
-        allv = jnp.concatenate([res_v, nv], axis=1)
-        allc = jnp.concatenate([res_c, nc], axis=1)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, width), 1)
+        # merge new picks into the result — skipped when nothing can improve
+        kth0 = res_v[k - 1, :]                                     # (T,)
+        need_merge = jnp.any(jnp.min(nv, axis=0) < kth0)
 
-        def merge(it, st):
-            av, sv, sc = st
-            m, pos = _first_argmin(av, iota_w, width)
-            onehot = iota_w == pos[:, None]
-            col = jnp.sum(jnp.where(onehot, allc, 0), axis=1)
-            ksel = iota_k == it
-            sv = jnp.where(ksel, m[:, None], sv)
-            sc = jnp.where(ksel, col[:, None].astype(jnp.int32), sc)
-            return (jnp.where(onehot, jnp.inf, av), sv, sc)
+        def do_merge(args):
+            res_v, res_c = args
+            allv = jnp.concatenate([res_v, nv], axis=0)            # (2k, T)
+            allc = jnp.concatenate([res_c, nc], axis=0)
+            iota0_w = jax.lax.broadcasted_iota(jnp.int32, (2 * k, T_TILE), 0)
 
-        _, res_v, res_c = jax.lax.fori_loop(
-            0, k, merge,
-            (allv, jnp.full((T_TILE, k), jnp.inf, jnp.float32),
-             jnp.zeros((T_TILE, k), jnp.int32)))
+            def mg(it, st):
+                av, sv, sc = st
+                m, pos = _first_argmin_cols(av, iota0_w, 2 * k)
+                onehot = iota0_w == pos[None, :]
+                col = jnp.sum(jnp.where(onehot, allc, 0), axis=0)
+                ksel = iota_k0 == it
+                sv = jnp.where(ksel, m[None, :], sv)
+                sc = jnp.where(ksel, col[None, :].astype(jnp.int32), sc)
+                return (jnp.where(onehot, jnp.inf, av), sv, sc)
 
-        # one 3D pass: each picked block loses exactly its current argmin
-        # sel_nb is int32: Mosaic rejects minor-dim insertion on i1 vectors
-        mask3 = (sel_nb[:, :, None] > 0) & (iota3_b == bai[:, :, None])
+            _, sv, sc = jax.lax.fori_loop(
+                0, k, mg,
+                (allv, jnp.full((k, T_TILE), jnp.inf, jnp.float32),
+                 jnp.zeros((k, T_TILE), jnp.int32)))
+            return sv, sc
+
+        res_v, res_c = jax.lax.cond(
+            need_merge, do_merge, lambda args: args, (res_v, res_c))
+
+        # mask extracted elements: each picked block loses its current argmin
+        mask3 = (sel_nb[:, None, :] > 0) & (iota3_blk == bai[:, None, :])
         fold = jnp.where(mask3, jnp.inf, fold)
 
-        # termination: k-th result <= min of remaining block minima per row
-        kth = res_v[:, k - 1]
-        remaining = jnp.min(jnp.min(fold, axis=2), axis=1)
-        # strict <: on exact value ties keep extracting so lowest-index
-        # tie-breaking stays consistent with the oracle (bounded by k phases)
+        # exact-termination: k-th best strictly below every remaining element
+        kth = res_v[k - 1, :]
+        remaining = jnp.min(jnp.min(fold, axis=1), axis=0)
         done = jnp.all(kth < remaining)
         return (fold, res_v, res_c, phase + 1, done)
 
-    init = (folded, state_vals[:], state_cols[:],
-            jnp.int32(0), jnp.bool_(False))
+    init = (folded, state_vals[:], state_cols[:], jnp.int32(0), jnp.bool_(False))
     _, res_v, res_c, _, _ = jax.lax.while_loop(phase_cond, phase_body, init)
     state_vals[:] = res_v
     state_cols[:] = res_c
@@ -186,18 +180,16 @@ def pallas_topk_preselect(
     Returns (indices (T, k) int32, scores (T, k) f32 ascending — squared
     distances minus ||t||^2, same convention as ops.topk.topk_preselect).
 
-    NOTE on the cross-chunk merge correctness: within one chunk the k
-    recorded elements arrive in ascending order, and the merge keeps the
-    best k of (state ∪ new); since any chunk contributes at most k of the
-    global top-k, recording exactly k per chunk loses nothing.
+    The phase loop terminates when the k-th best result strictly undercuts
+    every remaining element; the iteration bound guarantees enough phases to
+    extract k elements even in the degenerate all-in-one-block case.
     """
     T, d = targets.shape
     M = db.shape[0]
     assert T % T_TILE == 0, f"T={T} must be a multiple of {T_TILE}"
     assert M % CHUNK == 0, f"M={M} must be a multiple of {CHUNK}"
-    assert k <= NB * 4, f"k={k} unreasonably large for CHUNK={CHUNK}"
     n_chunks = M // CHUNK
-    sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, 1, CHUNK)
+    sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, CHUNK, 1)
 
     kernel = functools.partial(_topk_kernel, k, n_chunks)
     grid = (T // T_TILE, n_chunks)
@@ -207,23 +199,25 @@ def pallas_topk_preselect(
         in_specs=[
             pl.BlockSpec((T_TILE, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((T_TILE, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_TILE, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, T_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, T_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, k), jnp.float32),
-            jax.ShapeDtypeStruct((T, k), jnp.int32),
+            jax.ShapeDtypeStruct((k, T), jnp.float32),
+            jax.ShapeDtypeStruct((k, T), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((T_TILE, k), jnp.float32),
-            pltpu.VMEM((T_TILE, k), jnp.int32),
+            pltpu.VMEM((k, T_TILE), jnp.float32),
+            pltpu.VMEM((k, T_TILE), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(targets, db, sqn)
-    return cols, vals
+    return cols.T, vals.T
 
 
 def pad_for_pallas(n_rows: int, db_rows: int) -> tuple[int, int]:

@@ -77,7 +77,7 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
 
 def _select_decode_batch(
     feats_shard, jl, jr, part_shard, targets, lengths, voice_ids,
-    *, n_cand, chunk, jcw, eps, db_axis
+    *, n_cand, chunk, jcw, eps, db_axis, use_pallas=False, multivoice=False
 ):
     """Batched selection on one device: the whole local batch's target frames
     are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
@@ -91,10 +91,15 @@ def _select_decode_batch(
     tw_flat = tw.reshape(B * T, D)
 
     k_local = min(n_cand, m_local)
-    tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)            # (B*T,)
-    idx_local, scores_local = topk_preselect(
-        tw_flat, feats_shard, k=k_local, chunk=chunk,
-        partition=(tgt_part, part_shard))
+    if use_pallas and not multivoice:
+        from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
+        idx_local, scores_local = pallas_topk_preselect(
+            tw_flat, feats_shard, k=k_local)
+    else:
+        tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)        # (B*T,)
+        idx_local, scores_local = topk_preselect(
+            tw_flat, feats_shard, k=k_local, chunk=chunk,
+            partition=(tgt_part, part_shard))
     shard_id = jax.lax.axis_index(db_axis)
     idx_global = idx_local + shard_id * m_local
 
@@ -129,7 +134,8 @@ def _select_decode_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper"),
+    static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper",
+                     "use_pallas"),
 )
 def batched_synth_step(
     voice: ShardedVoice,
@@ -145,6 +151,7 @@ def batched_synth_step(
     max_frag: int,
     out_len: int,
     taper: int,
+    use_pallas: bool = False,
 ):
     """Batched multi-utterance synthesis over the mesh.
 
@@ -152,6 +159,7 @@ def batched_synth_step(
     total_samples (B,)).
     """
     db_axis = "db"
+    multivoice = voice_ids is not None
     if voice_ids is None:
         voice_ids = jnp.zeros(targets.shape[0], jnp.int32)
 
@@ -163,7 +171,8 @@ def batched_synth_step(
 
         unit_ids, costs = _select_decode_batch(
             feats_shard, jl, jr, part_shard, tw, len_local, vid_local,
-            n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis)
+            n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis,
+            use_pallas=use_pallas, multivoice=multivoice)
 
         def ola_one(ids, len_one):
             return overlap_add_units(

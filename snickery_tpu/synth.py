@@ -64,7 +64,7 @@ class DeviceDB(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
-                     "max_frag", "out_len", "taper"),
+                     "max_frag", "out_len", "taper", "use_pallas"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
@@ -82,6 +82,7 @@ def synth_pipeline_step(
     max_frag: int,
     out_len: int,
     taper: int,
+    use_pallas: bool = False,
 ):
     """The full per-utterance synthesis program (one compiled unit)."""
     T = targets.shape[0]
@@ -92,8 +93,12 @@ def synth_pipeline_step(
     tw = jnp.where(live[:, None], tw, 0.0)
 
     ling = (tgt_codes, tgt_ctx, db.codes, db.ctx) if halfphone else None
-    cand_idx, scores = topk_preselect(
-        tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling)
+    if use_pallas and not halfphone:
+        from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
+        cand_idx, scores = pallas_topk_preselect(tw, db.feats, k=n_cand)
+    else:
+        cand_idx, scores = topk_preselect(
+            tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling)
     tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
     if halfphone:
         # linguistic penalties pollute the scores; recompute exact acoustic
@@ -205,12 +210,18 @@ class Synthesiser:
         self._sqrt_wj = np.sqrt(w_j).astype(np.float32)
 
         m = db.n_units
+        from snickery_tpu.ops.pallas_topk import CHUNK as _P_CHUNK
+        import math
         self.chunk = 8192 if m >= 8192 else utils.next_multiple(m, 512)
-        mp = utils.next_multiple(m, self.chunk)
+        # rows must divide both the XLA scan chunk and the pallas kernel CHUNK
+        pad_unit = math.lcm(self.chunk, _P_CHUNK) if cfg.use_pallas else self.chunk
+        mp = utils.next_multiple(m, pad_unit)
         self.n_units = m
         self.n_units_padded = mp
 
-        feats, _ = db.padded_features(self.chunk)
+        feats_norm = db.normalised_features().astype(np.float32)
+        feats = np.full((mp, feats_norm.shape[1]), 1e6, np.float32)
+        feats[:m] = feats_norm
         feats = feats * self._sqrt_wt[None, :]
         jl, jr = db.normalised_joins()
         jl = (jl * self._sqrt_wj[None, :]).astype(np.float32)
@@ -274,8 +285,23 @@ class Synthesiser:
         return usable[: t_units * k].reshape(t_units, k * d).astype(np.float32), t_units
 
     # --------------------------------------------------------------- pipeline
+    def _use_pallas(self) -> bool:
+        import jax as _jax
+        return (self.cfg.use_pallas
+                and self.db.target_representation != "halfphone"
+                and _jax.default_backend() not in ("cpu",))
+
     def _run_pipeline(self, tgt_pad, t_units, codes, ctx, n_cand: int, greedy: bool):
         cfg = self.cfg
+        use_pallas = self._use_pallas()
+        if use_pallas:
+            from snickery_tpu.ops.pallas_topk import T_TILE
+            t_bucket = utils.next_multiple(tgt_pad.shape[0], T_TILE)
+            pad = t_bucket - tgt_pad.shape[0]
+            if pad:
+                tgt_pad = np.pad(tgt_pad, ((0, pad), (0, 0)))
+                codes = np.pad(codes, (0, pad), constant_values=-1)
+                ctx = np.pad(ctx, ((0, pad), (0, 0)), constant_values=-1)
         t_bucket = tgt_pad.shape[0]
         out_len = utils.next_multiple(
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
@@ -287,6 +313,7 @@ class Synthesiser:
             n_cand=n_cand, chunk=self.chunk, greedy=greedy,
             halfphone=self.db.target_representation == "halfphone",
             max_frag=self.max_frag, out_len=out_len, taper=cfg.taper_length,
+            use_pallas=use_pallas,
         )
 
     # ----------------------------------------------------------------- public
@@ -380,7 +407,8 @@ class Synthesiser:
                 mesh=self._mesh,
                 n_cand=min(cfg.n_candidates, self.n_units_padded),
                 chunk=self.chunk, max_frag=self.max_frag,
-                out_len=out_len, taper=cfg.taper_length))
+                out_len=out_len, taper=cfg.taper_length,
+                use_pallas=self._use_pallas()))
         results = []
         for b in range(B):
             n = int(lengths[b])
