@@ -67,6 +67,7 @@ class SnickeryConfig:
     mesh_data: int = 1                      # data-parallel axis size
     mesh_db: int = 1                        # unit-DB shard axis size
     use_pallas: bool = True                 # pallas preselect kernel (else XLA top_k)
+    preselect_precision: str = "highest"    # "highest" (exact f32) | "split3" (bf16_3x, ~25% faster)
     viterbi_block: int = 0                  # 0 = auto candidate tiling in scan
 
     # ---- misc ----

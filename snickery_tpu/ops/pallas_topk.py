@@ -63,7 +63,25 @@ def _first_argmin_cols(vals, iota0, height):
     return m, idx.astype(jnp.int32)
 
 
-def _topk_kernel(k: int, n_chunks: int,
+def _split3_dot(db, tgt):
+    """bf16_3x f32 matmul (Precision.HIGH semantics — Mosaic lacks HIGH):
+    split operands into bf16 hi + residual lo; hi*hi + hi*lo + lo*hi
+    recovers ~f32 accuracy (measured ~1e-3 abs on unit-scale 152-dim dots)
+    at 3 bf16 MXU passes instead of HIGHEST's 6."""
+    db_hi32 = db.astype(jnp.bfloat16).astype(jnp.float32)
+    tgt_hi32 = tgt.astype(jnp.bfloat16).astype(jnp.float32)
+    db_hi = db_hi32.astype(jnp.bfloat16)
+    tgt_hi = tgt_hi32.astype(jnp.bfloat16)
+    db_lo = (db - db_hi32).astype(jnp.bfloat16)
+    tgt_lo = (tgt - tgt_hi32).astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+    def d(a, b):
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+    return d(db_hi, tgt_hi) + d(db_hi, tgt_lo) + d(db_lo, tgt_hi)
+
+
+def _topk_kernel(k: int, n_chunks: int, mm_precision: str,
                  tgt_ref, db_ref, sqn_ref, out_vals_ref, out_cols_ref,
                  state_vals, state_cols):
     j = pl.program_id(1)
@@ -75,10 +93,13 @@ def _topk_kernel(k: int, n_chunks: int,
 
     tgt = tgt_ref[:]                                   # (T_TILE, d)
     db = db_ref[:]                                     # (CHUNK, d)
-    cross = jax.lax.dot_general(
-        db, tgt, dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)            # (CHUNK, T_TILE)
+    if mm_precision == "split3":
+        cross = _split3_dot(db, tgt)                   # (CHUNK, T_TILE)
+    else:
+        cross = jax.lax.dot_general(
+            db, tgt, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)        # (CHUNK, T_TILE)
     s = sqn_ref[0] - 2.0 * cross                       # (CHUNK, 1) broadcasts
 
     folded = s.reshape(NB, BLOCK, T_TILE)              # free leading-dim split
@@ -99,60 +120,46 @@ def _topk_kernel(k: int, n_chunks: int,
         bai = jnp.min(jnp.where(fold == bm[:, None, :], iota3_blk, BLOCK),
                       axis=1).astype(jnp.int32)                    # (NB, T)
 
-        def pick(it, st):
-            wbm, sel_nb, nv, nc = st
+        # The state is kept UNSORTED (sorted once by the caller): insertion
+        # is replace-the-worst-slot, so each pick costs two k-wide passes
+        # instead of a k-iteration merge.  The pick loop is a while_loop
+        # that runs only while some row still has a block whose min beats
+        # that row's current worst — when the state is warm this is ~1-2
+        # iterations per chunk instead of a fixed k.
+        def pick_cond(st):
+            it, wbm, sel_nb, sv, sc = st
+            worst = jnp.max(sv, axis=0)                            # (T,)
+            return jnp.logical_and(
+                it < k, jnp.any(jnp.min(wbm, axis=0) < worst))
+
+        def pick_body(st):
+            it, wbm, sel_nb, sv, sc = st
             m, b = _first_argmin_cols(wbm, iota0_nb, NB)           # (T,), (T,)
             onehot = iota0_nb == b[None, :]                        # (NB, T)
             mi = jnp.sum(jnp.where(onehot, bai, 0), axis=0)        # (T,)
             col = b * BLOCK + mi + base_col
-            ksel = iota_k0 == it
-            nv = jnp.where(ksel, m[None, :], nv)
-            nc = jnp.where(ksel, col[None, :], nc)
-            return (jnp.where(onehot, jnp.inf, wbm),
-                    jnp.maximum(sel_nb, onehot.astype(jnp.int32)), nv, nc)
+            # replace each row's worst state slot if the pick improves it
+            worst = jnp.max(sv, axis=0)
+            wslot = jnp.min(jnp.where(sv == worst[None, :], iota_k0, k),
+                            axis=0)                                # (T,)
+            better = m < worst                                     # (T,)
+            put = (iota_k0 == wslot[None, :]) & better[None, :]
+            sv = jnp.where(put, m[None, :], sv)
+            sc = jnp.where(put, col[None, :], sc)
+            return (it + 1, jnp.where(onehot, jnp.inf, wbm),
+                    jnp.maximum(sel_nb, onehot.astype(jnp.int32)), sv, sc)
 
-        npick = min(PICKS_PER_PHASE, k, NB)
-        _, sel_nb, nv, nc = jax.lax.fori_loop(
-            0, npick, pick,
-            (bm, jnp.zeros((NB, T_TILE), jnp.int32),
-             jnp.full((k, T_TILE), jnp.inf, jnp.float32),
-             jnp.zeros((k, T_TILE), jnp.int32)))
-
-        # merge new picks into the result — skipped when nothing can improve
-        kth0 = res_v[k - 1, :]                                     # (T,)
-        need_merge = jnp.any(jnp.min(nv, axis=0) < kth0)
-
-        def do_merge(args):
-            res_v, res_c = args
-            allv = jnp.concatenate([res_v, nv], axis=0)            # (2k, T)
-            allc = jnp.concatenate([res_c, nc], axis=0)
-            iota0_w = jax.lax.broadcasted_iota(jnp.int32, (2 * k, T_TILE), 0)
-
-            def mg(it, st):
-                av, sv, sc = st
-                m, pos = _first_argmin_cols(av, iota0_w, 2 * k)
-                onehot = iota0_w == pos[None, :]
-                col = jnp.sum(jnp.where(onehot, allc, 0), axis=0)
-                ksel = iota_k0 == it
-                sv = jnp.where(ksel, m[None, :], sv)
-                sc = jnp.where(ksel, col[None, :].astype(jnp.int32), sc)
-                return (jnp.where(onehot, jnp.inf, av), sv, sc)
-
-            _, sv, sc = jax.lax.fori_loop(
-                0, k, mg,
-                (allv, jnp.full((k, T_TILE), jnp.inf, jnp.float32),
-                 jnp.zeros((k, T_TILE), jnp.int32)))
-            return sv, sc
-
-        res_v, res_c = jax.lax.cond(
-            need_merge, do_merge, lambda args: args, (res_v, res_c))
+        _, _, sel_nb, res_v, res_c = jax.lax.while_loop(
+            pick_cond, pick_body,
+            (jnp.int32(0), bm, jnp.zeros((NB, T_TILE), jnp.int32),
+             res_v, res_c))
 
         # mask extracted elements: each picked block loses its current argmin
         mask3 = (sel_nb[:, None, :] > 0) & (iota3_blk == bai[:, None, :])
         fold = jnp.where(mask3, jnp.inf, fold)
 
-        # exact-termination: k-th best strictly below every remaining element
-        kth = res_v[k - 1, :]
+        # exact-termination: worst kept strictly below every remaining element
+        kth = jnp.max(res_v, axis=0)
         remaining = jnp.min(jnp.min(fold, axis=1), axis=0)
         done = jnp.all(kth < remaining)
         return (fold, res_v, res_c, phase + 1, done)
@@ -168,12 +175,13 @@ def _topk_kernel(k: int, n_chunks: int,
         out_cols_ref[:] = state_cols[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "mm_precision"))
 def pallas_topk_preselect(
     targets: jax.Array,       # (T, d) — T % T_TILE == 0
     db: jax.Array,            # (M, d) — M % CHUNK == 0
     k: int,
     interpret: bool = False,
+    mm_precision: str = "highest",   # "highest" (exact f32) | "split3" (bf16_3x)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -191,7 +199,7 @@ def pallas_topk_preselect(
     n_chunks = M // CHUNK
     sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, CHUNK, 1)
 
-    kernel = functools.partial(_topk_kernel, k, n_chunks)
+    kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision)
     grid = (T // T_TILE, n_chunks)
     vals, cols = pl.pallas_call(
         kernel,
@@ -217,7 +225,12 @@ def pallas_topk_preselect(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(targets, db, sqn)
-    return cols.T, vals.T
+    # the kernel keeps its state unsorted; order ascending by (value, col)
+    # here — lexsort matches the oracle's stable-by-index tie-breaking
+    vals_t, cols_t = vals.T, cols.T
+    order = jnp.lexsort((cols_t, vals_t), axis=-1)
+    return (jnp.take_along_axis(cols_t, order, axis=-1),
+            jnp.take_along_axis(vals_t, order, axis=-1))
 
 
 def pad_for_pallas(n_rows: int, db_rows: int) -> tuple[int, int]:

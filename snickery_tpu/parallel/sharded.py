@@ -77,7 +77,8 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
 
 def _select_decode_batch(
     feats_shard, jl, jr, part_shard, targets, lengths, voice_ids,
-    *, n_cand, chunk, jcw, eps, db_axis, use_pallas=False, multivoice=False
+    *, n_cand, chunk, jcw, eps, db_axis, use_pallas=False, multivoice=False,
+    mm_precision="highest"
 ):
     """Batched selection on one device: the whole local batch's target frames
     are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
@@ -94,7 +95,7 @@ def _select_decode_batch(
     if use_pallas and not multivoice:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         idx_local, scores_local = pallas_topk_preselect(
-            tw_flat, feats_shard, k=k_local)
+            tw_flat, feats_shard, k=k_local, mm_precision=mm_precision)
     else:
         tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)        # (B*T,)
         idx_local, scores_local = topk_preselect(
@@ -135,7 +136,7 @@ def _select_decode_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper",
-                     "use_pallas"),
+                     "use_pallas", "mm_precision"),
 )
 def batched_synth_step(
     voice: ShardedVoice,
@@ -152,6 +153,7 @@ def batched_synth_step(
     out_len: int,
     taper: int,
     use_pallas: bool = False,
+    mm_precision: str = "highest",
 ):
     """Batched multi-utterance synthesis over the mesh.
 
@@ -172,7 +174,8 @@ def batched_synth_step(
         unit_ids, costs = _select_decode_batch(
             feats_shard, jl, jr, part_shard, tw, len_local, vid_local,
             n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis,
-            use_pallas=use_pallas, multivoice=multivoice)
+            use_pallas=use_pallas, multivoice=multivoice,
+            mm_precision=mm_precision)
 
         def ola_one(ids, len_one):
             return overlap_add_units(

@@ -64,7 +64,7 @@ class DeviceDB(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
-                     "max_frag", "out_len", "taper", "use_pallas"),
+                     "max_frag", "out_len", "taper", "use_pallas", "mm_precision"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
@@ -83,6 +83,7 @@ def synth_pipeline_step(
     out_len: int,
     taper: int,
     use_pallas: bool = False,
+    mm_precision: str = "highest",
 ):
     """The full per-utterance synthesis program (one compiled unit)."""
     T = targets.shape[0]
@@ -95,7 +96,8 @@ def synth_pipeline_step(
     ling = (tgt_codes, tgt_ctx, db.codes, db.ctx) if halfphone else None
     if use_pallas and not halfphone:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
-        cand_idx, scores = pallas_topk_preselect(tw, db.feats, k=n_cand)
+        cand_idx, scores = pallas_topk_preselect(
+            tw, db.feats, k=n_cand, mm_precision=mm_precision)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling)
@@ -313,7 +315,7 @@ class Synthesiser:
             n_cand=n_cand, chunk=self.chunk, greedy=greedy,
             halfphone=self.db.target_representation == "halfphone",
             max_frag=self.max_frag, out_len=out_len, taper=cfg.taper_length,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, mm_precision=cfg.preselect_precision,
         )
 
     # ----------------------------------------------------------------- public
