@@ -59,6 +59,26 @@ def _native_features(cfg: SnickeryConfig, wave: np.ndarray, epochs: np.ndarray) 
     return np.concatenate(mats, axis=1).astype(np.float32)
 
 
+def _voiced_epoch_range(wave: np.ndarray, epochs: np.ndarray,
+                        threshold_db: float = -35.0) -> slice:
+    """Slice of epochs outside leading/trailing silence.
+
+    Per-epoch RMS over a +/-64 sample window, thresholded relative to the
+    utterance's 95th-percentile epoch level.
+    """
+    half = 64
+    n = len(wave)
+    idx = np.clip(epochs[:, None] + np.arange(-half, half)[None, :], 0, n - 1)
+    rms = np.sqrt((wave[idx].astype(np.float64) ** 2).mean(axis=1) + 1e-12)
+    ref = np.percentile(rms, 95)
+    active = rms > ref * (10.0 ** (threshold_db / 20.0))
+    if not active.any():
+        return slice(0, 0)
+    first = int(np.argmax(active))
+    last = len(active) - int(np.argmax(active[::-1]))
+    return slice(first, last)
+
+
 def prepare_utterance(cfg: SnickeryConfig, base: str) -> UtteranceData | None:
     """Read one utterance's wave/epochs/features (+labels in halfphone mode)."""
     from snickery_tpu.features.epochs import detect_epochs, f0_from_epochs
@@ -87,6 +107,18 @@ def prepare_utterance(cfg: SnickeryConfig, base: str) -> UtteranceData | None:
         feats = _native_features(cfg, wave, epochs)
     n = min(len(feats), len(epochs))
     feats, epochs = feats[:n], epochs[:n]
+
+    if cfg.trim_silence and cfg.target_representation == "epoch":
+        # epoch-mode silence trimming: drop leading/trailing epochs whose
+        # local energy is far below the utterance peak (features are sliced
+        # with the same range so stream files stay aligned; halfphone mode
+        # trims by label instead, below)
+        keep = _voiced_epoch_range(wave, epochs)
+        epochs, feats = epochs[keep], feats[keep]
+        if len(epochs) < 4:
+            logger.warning("%s: silence trimming left %d epochs, skipping",
+                           base, len(epochs))
+            return None
 
     lf0 = f0_from_epochs(epochs, sr).reshape(-1)
 

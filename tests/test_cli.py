@@ -92,3 +92,82 @@ def test_exec_style_cfg_cli(corpus, tmp_path):
     out = tmp_path / "out"
     assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out), "utt01"]) == 0
     assert sorted(os.listdir(out)) == ["utt01.wav"]
+
+
+def test_hybrid_dnn_target_mode(corpus, tmp_path):
+    """Hybrid mode (BASELINE config #4): DNN-predicted stream files under
+    test_data_dir drive synthesis instead of natural analysis."""
+    import json
+    from snickery_tpu.cli import main as cli_main
+    from snickery_tpu.io.speech import put_speech, read_wave
+    from snickery_tpu.features.epochs import detect_epochs
+    from snickery_tpu.features.magphase import magphase_analysis
+
+    feats = corpus / "feats"
+    work = corpus / "work_hybrid"
+    # fabricate 'predicted' features: analyse a held-out synthetic utterance
+    # (stands in for Merlin DNN output, which the reference also treats as
+    # externally-produced stream files)
+    from tests.toyvoice import SR, synth_utterance
+    wave, _ = synth_utterance(999, n_segments=4)
+    epochs = detect_epochs(wave, SR, use_native=False)
+    streams = magphase_analysis(wave, epochs, SR)
+    pred = tmp_path / "predicted"
+    for s, mat in streams.items():
+        d = pred / s
+        d.mkdir(parents=True, exist_ok=True)
+        put_speech(mat, str(d / f"pred01.{s}"))
+
+    cfg = {
+        "workdir": str(work),
+        "wav_datadir": str(corpus / "wav"),
+        "pm_datadir": str(feats / "pm"),
+        "feat_datadir": str(feats),
+        "test_data_dir": str(pred),
+        "stream_list": ["mag", "real", "imag", "lf0"],
+        "datadims": {"mag": 60, "real": 45, "imag": 45, "lf0": 1},
+        "sample_rate": SR,
+        "n_candidates": 8,
+        "taper_length": 32,
+        "length_buckets": [64, 128],
+        "voice_name": "hybrid",
+    }
+    cfg_path = tmp_path / "hybrid.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert cli_main(["train", "-c", str(cfg_path)]) == 0
+    out = tmp_path / "out"
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out)]) == 0
+    wavs = [p for p in out.iterdir() if p.suffix == ".wav"]
+    assert [p.name for p in wavs] == ["pred01.wav"]
+    audio, sr = read_wave(str(wavs[0]))
+    assert sr == SR and len(audio) > 1000 and np.abs(audio).max() > 0.01
+
+
+def test_epoch_silence_trimming(corpus, tmp_path):
+    """trim_silence in epoch mode drops low-energy edge epochs."""
+    import json
+    from snickery_tpu.config import SnickeryConfig
+    from snickery_tpu.train import prepare_utterance
+    from snickery_tpu.io.speech import write_wave
+    from tests.toyvoice import SR, synth_utterance
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    wave, _ = synth_utterance(42, n_segments=4)
+    padded = np.concatenate([np.zeros(4000, np.float32), wave,
+                             np.zeros(4000, np.float32)])
+    write_wave(padded, str(wav_dir / "padded.wav"), SR)
+
+    base_cfg = dict(
+        wav_datadir=str(wav_dir),
+        stream_list=["mag", "real", "imag", "lf0"],
+        datadims={"mag": 60, "real": 45, "imag": 45, "lf0": 1},
+        sample_rate=SR,
+    )
+    utt_raw = prepare_utterance(SnickeryConfig(**base_cfg), "padded")
+    utt_trim = prepare_utterance(SnickeryConfig(**base_cfg, trim_silence=True), "padded")
+    assert len(utt_trim.epochs) < len(utt_raw.epochs)
+    # trimmed epochs all inside the speech region (with a small margin)
+    assert utt_trim.epochs.min() > 3000
+    assert utt_trim.epochs.max() < len(padded) - 3000
+    assert len(utt_trim.features) == len(utt_trim.epochs)
