@@ -51,3 +51,16 @@ def test_pad_for_pallas():
     T, M = pad_for_pallas(100, 5000)
     assert T % T_TILE == 0 and T >= 100
     assert M % CHUNK == 0 and M >= 5000
+
+
+def test_pipelined_kernel_exact(rng):
+    """Experimental pipelined variant stays correct (interpret mode)."""
+    from snickery_tpu.ops.pallas_topk_pipelined import (
+        CHUNK as PCHUNK, T_TILE as PT, pallas_topk_pipelined)
+    T, M, d, k = PT, 3 * PCHUNK, 151, 20
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    idx, vals = pallas_topk_pipelined(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True)
+    ref_idx, ref_sq = oracle.preselect(targets, db, k)
+    assert (np.asarray(idx) == ref_idx).mean() == 1.0
