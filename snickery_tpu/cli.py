@@ -106,23 +106,45 @@ def cmd_synth(args: argparse.Namespace) -> int:
         return 1
     logger.info("synthesising %d utterances -> %s", len(bases), outdir)
     halfphone = synth.db.target_representation == "halfphone"
-    for base in bases:
-        feats, lf0, segments, epochs = _target_features_for(cfg, base)
-        if halfphone:
-            if segments is None:
-                logger.warning("%s: no labels for halfphone targets, skipping", base)
-                continue
-            tgt, kept = synth.halfphone_targets_from_features(feats, epochs, segments)
-            result = synth.synth_from_features(
-                tgt, greedy=args.greedy or None, target_segments=kept)
-        else:
-            result = synth.synth_from_features(feats, greedy=args.greedy or None)
+
+    def emit(base, result):
         out_path = os.path.join(outdir, base + ".wav")
         write_wave(result["wave"], out_path, cfg.sample_rate)
         logger.info("%s: %d units, cost %.2f -> %s",
                     base, result["n_units"], result["total_cost"], out_path)
         if args.dump_units:
             np.save(os.path.join(outdir, base + ".units.npy"), result["unit_ids"])
+
+    use_batch = (cfg.synth_batch > 1 and not halfphone
+                 and not (args.greedy or (args.greedy is None and cfg.greedy_search)))
+    if use_batch:
+        # batched path (config synth_batch > 1): group utterances into one
+        # device step each
+        group, names = [], []
+        for base in bases:
+            feats, _, _, _ = _target_features_for(cfg, base)
+            group.append(feats)
+            names.append(base)
+            if len(group) == cfg.synth_batch:
+                for b, r in zip(names, synth.synth_batch(group)):
+                    emit(b, r)
+                group, names = [], []
+        if group:
+            for b, r in zip(names, synth.synth_batch(group)):
+                emit(b, r)
+    else:
+        for base in bases:
+            feats, lf0, segments, epochs = _target_features_for(cfg, base)
+            if halfphone:
+                if segments is None:
+                    logger.warning("%s: no labels for halfphone targets, skipping", base)
+                    continue
+                tgt, kept = synth.halfphone_targets_from_features(feats, epochs, segments)
+                result = synth.synth_from_features(
+                    tgt, greedy=args.greedy, target_segments=kept)
+            else:
+                result = synth.synth_from_features(feats, greedy=args.greedy)
+            emit(base, result)
     synth.timer.log("synth")
     return 0
 
@@ -152,8 +174,11 @@ def main(argv: list[str] | None = None) -> int:
     p_synth = sub.add_parser("synth", help="synthesise test utterances")
     _add_common(p_synth)
     p_synth.add_argument("-o", "--output-dir", default="")
-    p_synth.add_argument("--greedy", action="store_true",
-                         help="greedy online selection instead of Viterbi")
+    p_synth.add_argument("--greedy", action=argparse.BooleanOptionalAction,
+                         default=None,
+                         help="force greedy online selection (--greedy) or "
+                              "Viterbi (--no-greedy); default follows the "
+                              "config's greedy_search")
     p_synth.add_argument("--dump-units", action="store_true",
                          help="also save selected unit ids per utterance")
     p_synth.add_argument("utterances", nargs="*", help="restrict to these basenames")

@@ -60,15 +60,13 @@ class SnickeryConfig:
     silence_symbols: list[str] = field(default_factory=lambda: ["pau", "sil", "#"])
 
     # ---- TPU-specific (new in this framework) ----
-    dtype: str = "float32"                  # compute dtype on device
     length_buckets: list[int] = field(default_factory=lambda: [128, 256, 512, 1024, 2048])
     db_pad_multiple: int = 512              # pad DB rows to a multiple of this
-    synth_batch: int = 1                    # utterances synthesised per device step
-    mesh_data: int = 1                      # data-parallel axis size
-    mesh_db: int = 1                        # unit-DB shard axis size
+    synth_batch: int = 1                    # utterances per batched CLI synth step
+    mesh_data: int = 1                      # data-parallel axis size (synth_batch path)
+    mesh_db: int = 1                        # unit-DB shard axis size (synth_batch path)
     use_pallas: bool = True                 # pallas preselect kernel (else XLA top_k)
     preselect_precision: str = "highest"    # "highest" (exact f32) | "split3" (bf16_3x, ~25% faster)
-    viterbi_block: int = 0                  # 0 = auto candidate tiling in scan
 
     # ---- misc ----
     voice_name: str = "voice"

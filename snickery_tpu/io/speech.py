@@ -35,8 +35,8 @@ def put_speech(data: np.ndarray, path: str) -> None:
 def read_wave(path: str) -> tuple[np.ndarray, int]:
     """Read wav -> (float32 samples in [-1, 1], sample_rate)."""
     sr, data = wavfile.read(path)
-    if data.ndim > 1:                       # downmix multi-channel
-        data = data.mean(axis=1)
+    # normalise by the INTEGER dtype first — downmixing would promote to
+    # float64 and skip the scaling branch, leaving +/-32768-range samples
     if data.dtype == np.int16:
         wave = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -45,6 +45,8 @@ def read_wave(path: str) -> tuple[np.ndarray, int]:
         wave = (data.astype(np.float32) - 128.0) / 128.0
     else:                                    # already float
         wave = data.astype(np.float32)
+    if wave.ndim > 1:                        # downmix multi-channel
+        wave = wave.mean(axis=1).astype(np.float32)
     return wave, int(sr)
 
 

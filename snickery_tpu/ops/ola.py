@@ -31,14 +31,6 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.lru_cache(maxsize=16)
-def _ramp(taper: int):
-    import numpy as np
-    # raised-cosine rise over 2*taper samples; complement falls to 0.
-    n = np.arange(2 * taper, dtype=np.float32)
-    return 0.5 - 0.5 * np.cos(np.pi * (n + 0.5) / (2 * taper))
-
-
 def crossfade_window(frag_len: jax.Array, max_len: int, taper: int) -> jax.Array:
     """Per-fragment window (n_units, max_len): rises over the first 2*taper
     samples, 1 in the middle, falls over the last 2*taper before frag_len."""

@@ -14,16 +14,16 @@ Layout and algorithm (chosen against measured Mosaic/axon behaviour):
   always sufficient.
 - Phase loop (while_loop, exact): per phase compute per-block min + in-block
   argmin (constant full passes over the chunk scores, which never leave
-  VMEM), pick ``PICKS_PER_PHASE`` best distinct blocks per target row by
-  argmin-iteration over the NB-wide block-min table, merge the picks into
-  the carried top-k state (the merge is SKIPPED via lax.cond when no pick
-  beats the current k-th best — the common case once the state warms up),
-  mask the extracted elements, and repeat until the k-th best is strictly
-  below every remaining block minimum.  Exact for any distribution of the
-  top-k across blocks.
+  VMEM); then a pick while_loop extracts best blocks one at a time, but
+  ONLY while some row still has a block whose min beats that row's current
+  worst kept value — warm state makes this ~1-2 iterations per chunk.
+  Each pick replaces the row's worst slot of an UNSORTED k-slot state (two
+  k-wide passes, no merge loop); the caller sorts once at the end.  Phases
+  repeat until the worst kept value strictly undercuts every remaining
+  element.  Exact for any distribution of the top-k across blocks.
 - Scalar-loop iterations are the dominant cost on this hardware
-  (~0.5 us each in Mosaic); the design point (8 picks/phase, gated k-wide
-  merge, NB >> k) minimises iteration count rather than vector work.
+  (~0.5 us each in Mosaic); the design minimises iteration count rather
+  than vector work.
 
 First-minimum tie-breaking (lowest index) everywhere, matching np.argmin
 and the float64 oracle, except among exactly-equal values discovered in
@@ -52,7 +52,6 @@ T_TILE = 256       # target rows per grid step (VMEM-bounded: the
 CHUNK = 2048       # DB rows per grid step
 BLOCK = 8          # sub-block fold width (leading-dim split: any granularity)
 NB = CHUNK // BLOCK
-PICKS_PER_PHASE = 8
 
 
 def _first_argmin_cols(vals, iota0, height):

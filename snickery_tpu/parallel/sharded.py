@@ -93,9 +93,15 @@ def _select_decode_batch(
 
     k_local = min(n_cand, m_local)
     if use_pallas and not multivoice:
-        from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
+        from snickery_tpu.ops.pallas_topk import T_TILE, pallas_topk_preselect
+        rows = tw_flat.shape[0]
+        pad = (-rows) % T_TILE              # kernel requires rows % T_TILE == 0
+        tw_k = jnp.pad(tw_flat, ((0, pad), (0, 0))) if pad else tw_flat
         idx_local, scores_local = pallas_topk_preselect(
-            tw_flat, feats_shard, k=k_local, mm_precision=mm_precision)
+            tw_k, feats_shard, k=k_local, mm_precision=mm_precision)
+        if pad:
+            idx_local = idx_local[:rows]
+            scores_local = scores_local[:rows]
     else:
         tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)        # (B*T,)
         idx_local, scores_local = topk_preselect(

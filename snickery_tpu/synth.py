@@ -64,7 +64,8 @@ class DeviceDB(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
-                     "max_frag", "out_len", "taper", "use_pallas", "mm_precision"),
+                     "max_frag", "out_len", "taper", "use_pallas",
+                     "mm_precision", "multivoice"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
@@ -84,8 +85,13 @@ def synth_pipeline_step(
     taper: int,
     use_pallas: bool = False,
     mm_precision: str = "highest",
+    multivoice: bool = False,
 ):
-    """The full per-utterance synthesis program (one compiled unit)."""
+    """The full per-utterance synthesis program (one compiled unit).
+
+    ``multivoice`` (epoch mode): ``tgt_codes`` carry the requested voice id
+    per step and ``db.codes`` the per-unit voice id; selection is hard-
+    restricted to the matching voice via the fused partition mask."""
     T = targets.shape[0]
     tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
     tw = tnorm * db.sqrt_wt[None, :]
@@ -94,13 +100,15 @@ def synth_pipeline_step(
     tw = jnp.where(live[:, None], tw, 0.0)
 
     ling = (tgt_codes, tgt_ctx, db.codes, db.ctx) if halfphone else None
-    if use_pallas and not halfphone:
+    part = (tgt_codes, db.codes) if (multivoice and not halfphone) else None
+    if use_pallas and not halfphone and part is None:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
             tw, db.feats, k=n_cand, mm_precision=mm_precision)
     else:
         cand_idx, scores = topk_preselect(
-            tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling)
+            tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling,
+            partition=part)
     tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
     if halfphone:
         # linguistic penalties pollute the scores; recompute exact acoustic
@@ -214,16 +222,15 @@ class Synthesiser:
         m = db.n_units
         from snickery_tpu.ops.pallas_topk import CHUNK as _P_CHUNK
         import math
-        self.chunk = 8192 if m >= 8192 else utils.next_multiple(m, 512)
+        self.chunk = (8192 if m >= 8192
+                      else utils.next_multiple(m, cfg.db_pad_multiple))
         # rows must divide both the XLA scan chunk and the pallas kernel CHUNK
         pad_unit = math.lcm(self.chunk, _P_CHUNK) if cfg.use_pallas else self.chunk
         mp = utils.next_multiple(m, pad_unit)
         self.n_units = m
         self.n_units_padded = mp
 
-        feats_norm = db.normalised_features().astype(np.float32)
-        feats = np.full((mp, feats_norm.shape[1]), 1e6, np.float32)
-        feats[:m] = feats_norm
+        feats, _ = db.padded_features(pad_unit)
         feats = feats * self._sqrt_wt[None, :]
         jl, jr = db.normalised_joins()
         jl = (jl * self._sqrt_wj[None, :]).astype(np.float32)
@@ -235,7 +242,11 @@ class Synthesiser:
 
         dev = jax.devices()[0]
         put = functools.partial(jax.device_put, device=dev)
-        if db.target_representation == "halfphone":
+        # merged multi-voice epoch DBs store the voice id in unit_code and
+        # the voice-name table in unit_names (voicedb/multivoice.py)
+        self.is_multivoice = (
+            db.target_representation == "epoch" and len(db.unit_names) > 0)
+        if db.target_representation == "halfphone" or self.is_multivoice:
             codes_arr = np.pad(db.unit_code.astype(np.int32), (0, mp - m),
                                constant_values=-1)
             ctx_arr = np.pad(db.context_codes.astype(np.int32),
@@ -291,6 +302,7 @@ class Synthesiser:
         import jax as _jax
         return (self.cfg.use_pallas
                 and self.db.target_representation != "halfphone"
+                and not self.is_multivoice      # kernel lacks partition masks
                 and _jax.default_backend() not in ("cpu",))
 
     def _run_pipeline(self, tgt_pad, t_units, codes, ctx, n_cand: int, greedy: bool):
@@ -316,14 +328,23 @@ class Synthesiser:
             halfphone=self.db.target_representation == "halfphone",
             max_frag=self.max_frag, out_len=out_len, taper=cfg.taper_length,
             use_pallas=use_pallas, mm_precision=cfg.preselect_precision,
+            multivoice=self.is_multivoice,
         )
 
     # ----------------------------------------------------------------- public
+    def _voice_code(self, voice) -> int:
+        if isinstance(voice, str):
+            if voice not in self._unit_vocab:
+                raise KeyError(f"unknown voice {voice!r}; have {self.db.unit_names}")
+            return self._unit_vocab[voice]
+        return int(voice)
+
     def synth_from_features(
         self,
         features: np.ndarray,
         greedy: bool | None = None,
         target_segments: list | None = None,
+        voice=None,
     ) -> dict:
         """Synthesise one utterance from an epoch-rate target trajectory.
 
@@ -332,10 +353,16 @@ class Synthesiser:
         the unit names/contexts of the target — in that mode ``features``
         must already be at unit rate (T_units, 3*d) via
         ``halfphone_targets_from_features``.
+        ``voice`` (multi-voice DBs): name or id of the voice to select from
+        (required when the DB was built by merge_voicedbs).
         """
         cfg = self.cfg
         greedy = cfg.greedy_search if greedy is None else greedy
         halfphone = self.db.target_representation == "halfphone"
+        if self.is_multivoice and voice is None:
+            raise ValueError(
+                "this is a multi-voice DB: pass voice=<name or id> "
+                f"(available: {self.db.unit_names})")
 
         if halfphone:
             if target_segments is None:
@@ -349,7 +376,8 @@ class Synthesiser:
                  for s in target_segments], np.int32)
         else:
             tgt_units, t_units = self.targets_from_features(features)
-            codes = np.zeros(t_units, np.int32)
+            vid = self._voice_code(voice) if self.is_multivoice else 0
+            codes = np.full(t_units, vid, np.int32)
             ctx = np.zeros((t_units, 5), np.int32)
 
         t_bucket = utils.bucket_length(t_units, tuple(cfg.length_buckets))
@@ -369,13 +397,16 @@ class Synthesiser:
             "n_units": int(t_units),
         }
 
-    def synth_batch(self, feature_list: list[np.ndarray], greedy: bool = False) -> list[dict]:
+    def synth_batch(self, feature_list: list[np.ndarray], greedy: bool = False,
+                    voices: list | None = None) -> list[dict]:
         """Batched multi-utterance synthesis (epoch mode) in one device step.
 
         Pads all utterances to a shared T bucket and runs the sharded batch
-        step on a 1x1 mesh (the same compiled program scales to multi-chip
-        meshes — see snickery_tpu.parallel).  Returns one result dict per
-        utterance, identical in content to ``synth_from_features``.
+        step over a (mesh_data x mesh_db) mesh from the config (1x1 by
+        default — the same compiled program scales to multi-chip meshes; see
+        snickery_tpu.parallel).  ``voices``: per-utterance voice name/id for
+        multi-voice DBs.  Returns one result dict per utterance, identical
+        in content to ``synth_from_features``.
         """
         from snickery_tpu.parallel import batched_synth_step, make_mesh, shard_voice
 
@@ -384,6 +415,9 @@ class Synthesiser:
             raise NotImplementedError("synth_batch currently supports epoch mode")
         if greedy:
             raise NotImplementedError("synth_batch uses Viterbi decoding")
+        if self.is_multivoice and voices is None:
+            raise ValueError(
+                "multi-voice DB: pass voices=[...] (one per utterance)")
         prepped = [self.targets_from_features(f) for f in feature_list]
         t_max = max(n for _, n in prepped)
         t_bucket = utils.bucket_length(t_max, tuple(cfg.length_buckets))
@@ -395,22 +429,33 @@ class Synthesiser:
             lengths[b] = n
 
         if self._mesh is None:
-            self._mesh = make_mesh(1, 1, devices=[jax.devices()[0]])
+            n_mesh = max(1, cfg.mesh_data) * max(1, cfg.mesh_db)
+            devices = (jax.devices()[:n_mesh] if n_mesh > 1
+                       else [jax.devices()[0]])
+            self._mesh = make_mesh(cfg.mesh_data, max(1, cfg.mesh_db),
+                                   devices=devices)
             ddb = self.device_db
             self._sharded_voice = shard_voice(
                 self._mesh, ddb.feats, ddb.jl, ddb.jr, ddb.cut1, ddb.cut2,
-                ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt)
+                ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
+                part=ddb.codes if self.is_multivoice else None)
         out_len = utils.next_multiple(
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
+        voice_ids = None
+        if self.is_multivoice:
+            voice_ids = jnp.asarray(
+                np.asarray([self._voice_code(v) for v in voices], np.int32))
         with self.timer.stage("synth_batch_step"):
             unit_ids, costs, audio, totals = jax.device_get(batched_synth_step(
                 self._sharded_voice, jnp.asarray(tgts), jnp.asarray(lengths),
                 jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
+                voice_ids,
                 mesh=self._mesh,
                 n_cand=min(cfg.n_candidates, self.n_units_padded),
                 chunk=self.chunk, max_frag=self.max_frag,
                 out_len=out_len, taper=cfg.taper_length,
-                use_pallas=self._use_pallas()))
+                use_pallas=self._use_pallas(),
+                mm_precision=cfg.preselect_precision))
         results = []
         for b in range(B):
             n = int(lengths[b])
@@ -447,13 +492,29 @@ class Synthesiser:
         leftover = np.zeros((0, d), np.float32)
         n_cand = min(cfg.n_candidates, self.n_units_padded)
 
-        for chunk_feats in feature_chunks:
-            feats = np.concatenate([leftover, np.asarray(chunk_feats, np.float32)])
+        def chunks_then_flush():
+            yield from feature_chunks
+            yield None                       # sentinel: flush leftover
+
+        for chunk_feats in chunks_then_flush():
+            if chunk_feats is None:
+                # end of stream: pad any leftover epochs to one final unit by
+                # repeating the last frame (otherwise up to k-1 trailing
+                # pitch periods would be silently dropped)
+                if len(leftover) == 0:
+                    break
+                reps = k - len(leftover) % k if len(leftover) % k else 0
+                feats = np.concatenate(
+                    [leftover, np.repeat(leftover[-1:], reps, axis=0)])
+            else:
+                feats = np.concatenate([leftover, np.asarray(chunk_feats, np.float32)])
             t_units = len(feats) // k
             if t_units == 0:
                 leftover = feats
                 continue
             leftover = feats[t_units * k:]
+            if chunk_feats is None:
+                leftover = np.zeros((0, d), np.float32)
             tgt = feats[: t_units * k].reshape(t_units, k * d)
             t_bucket = utils.bucket_length(t_units, tuple(cfg.length_buckets))
             tgt_pad = np.pad(tgt, ((0, t_bucket - t_units), (0, 0)))
@@ -480,21 +541,18 @@ class Synthesiser:
         self, features: np.ndarray, epochs: np.ndarray, segments: list
     ) -> tuple[np.ndarray, list]:
         """Build unit-rate halfphone targets ([first, mid, last] frames) from
-        an epoch-rate trajectory + the target's halfphone segmentation."""
-        from snickery_tpu.voicedb.build import _snap_to_epochs
-        from snickery_tpu.io.labels import segments_to_sample_bounds
+        an epoch-rate trajectory + the target's halfphone segmentation.
 
-        E = len(features)
+        Uses the same frame-picking rule as the DB builder
+        (voicedb.build.halfphone_frame_indices) so targets and units can
+        never desynchronise."""
+        from snickery_tpu.io.labels import segments_to_sample_bounds
+        from snickery_tpu.voicedb.build import halfphone_frame_indices
+
         bounds = segments_to_sample_bounds(segments, self.cfg.sample_rate)
         rows, kept = [], []
-        for seg, (s0, s1) in zip(segments, bounds):
-            e0 = int(_snap_to_epochs(np.array([s0]), epochs)[0])
-            e1 = int(_snap_to_epochs(np.array([s1]), epochs)[0])
-            e0 = max(e0, 1)
-            e1 = min(max(e1 - 1, e0), E - 2)
-            if e1 < e0:
-                continue
-            mid = (e0 + e1) // 2
+        for seg, e0, mid, e1 in halfphone_frame_indices(
+                segments, bounds, epochs, len(features)):
             rows.append(np.concatenate([features[e0], features[mid], features[e1]]))
             kept.append(seg)
         return np.asarray(rows, np.float32), kept

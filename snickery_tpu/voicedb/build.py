@@ -87,6 +87,23 @@ def _snap_to_epochs(bounds: np.ndarray, epochs: np.ndarray) -> np.ndarray:
     return np.where(choose_left, pos - 1, pos).astype(np.int64)
 
 
+def halfphone_frame_indices(segs, bounds, epochs, n_frames):
+    """Shared frame-picking rule for halfphone units: snap segment bounds to
+    the epoch grid and return (seg, e0, mid, e1) per kept segment.  Used by
+    BOTH the DB builder and the synthesiser's target assembly so the two
+    sides can never desynchronise."""
+    out = []
+    for seg, (s0, s1) in zip(segs, bounds):
+        e0 = int(_snap_to_epochs(np.array([s0]), epochs)[0])
+        e1 = int(_snap_to_epochs(np.array([s1]), epochs)[0])
+        e0 = max(e0, 1)
+        e1 = min(max(e1 - 1, e0), n_frames - 2)
+        if e1 < e0:
+            continue
+        out.append((seg, e0, (e0 + e1) // 2, e1))
+    return out
+
+
 def _halfphone_units(
     utt: UtteranceData,
     unit_vocab: dict[str, int],
@@ -100,14 +117,7 @@ def _halfphone_units(
     segs = utt.halfphones or []
     bounds = segments_to_sample_bounds(segs, sample_rate)
     tgt, jl, jr, cuts, lf0s, codes, ctxs = [], [], [], [], [], [], []
-    for seg, (s0, s1) in zip(segs, bounds):
-        e0 = int(_snap_to_epochs(np.array([s0]), utt.epochs)[0])
-        e1 = int(_snap_to_epochs(np.array([s1]), utt.epochs)[0])
-        e0 = max(e0, 1)
-        e1 = min(max(e1 - 1, e0), E - 2)     # last centre epoch inside the segment
-        if e1 < e0:
-            continue
-        mid = (e0 + e1) // 2
+    for seg, e0, mid, e1 in halfphone_frame_indices(segs, bounds, utt.epochs, E):
         tgt.append(np.concatenate([utt.features[e0], utt.features[mid], utt.features[e1]]))
         jl.append(utt.features[e0])
         jr.append(utt.features[min(e1 + 1, E - 1)])

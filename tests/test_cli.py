@@ -171,3 +171,33 @@ def test_epoch_silence_trimming(corpus, tmp_path):
     assert utt_trim.epochs.min() > 3000
     assert utt_trim.epochs.max() < len(padded) - 3000
     assert len(utt_trim.features) == len(utt_trim.epochs)
+
+
+def test_cli_batched_synthesis(corpus, tmp_path):
+    """synth_batch > 1 in the config routes CLI synthesis through the
+    batched device step."""
+    import json
+    from snickery_tpu.cli import main as cli_main
+    from tests.toyvoice import SR
+
+    feats = corpus / "feats"
+    cfg = {
+        "workdir": str(corpus / "work"),      # reuse the voice built earlier
+        "wav_datadir": str(corpus / "wav"),
+        "pm_datadir": str(feats / "pm"),
+        "feat_datadir": str(feats),
+        "stream_list": ["mag", "real", "imag", "lf0"],
+        "datadims": {"mag": 60, "real": 45, "imag": 45, "lf0": 1},
+        "sample_rate": SR,
+        "n_candidates": 8,
+        "taper_length": 32,
+        "length_buckets": [64, 128],
+        "voice_name": "clitoy",
+        "synth_batch": 2,
+    }
+    cfg_path = tmp_path / "batched.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = tmp_path / "out"
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out)]) == 0
+    assert sorted(p.name for p in out.iterdir() if p.suffix == ".wav") == [
+        "utt00.wav", "utt01.wav", "utt02.wav"]

@@ -201,3 +201,19 @@ def test_streaming_matches_greedy(epoch_voice):
     m = min(len(stream_audio), len(ref["wave"]))
     corr = np.corrcoef(stream_audio[:m], ref["wave"][:m])[0, 1]
     assert corr > 0.98, f"streaming-vs-greedy corr {corr}"
+
+
+def test_streaming_flushes_leftover_multiepoch():
+    cfg, db, utts = build_toy_voice(halfphone=False, multiepoch=4, n_utts=2)
+    synth = Synthesiser(cfg, db=db)
+    utt = utts[0]
+    feats = utt.features[1:-1]
+    # chunk sizes chosen so a non-multiple-of-4 tail remains at end of stream
+    n = (len(feats) // 4) * 4 + 2 if len(feats) % 4 != 2 else len(feats)
+    feats = feats[:n] if n <= len(feats) else feats
+    chunks = [feats[: len(feats) // 2], feats[len(feats) // 2:]]
+    audio = np.concatenate(list(synth.synth_streaming(iter(chunks))))
+    # all units decoded: total units = ceil(len/4)
+    expect_units = -(-len(feats) // 4)
+    # audio length ≈ units * ~4 epochs * period; just check the tail isn't dropped
+    assert len(audio) > (expect_units - 1) * 4 * 100

@@ -62,3 +62,17 @@ def test_hts_label_and_halfphones(tmp_path):
     # state-aligned phone b splits at its middle state boundary (0.25s)
     assert abs(halves[2].end_sec - 0.25) < 1e-9
     assert abs(halves[3].start_sec - 0.25) < 1e-9
+
+
+def test_stereo_int16_wav_normalised(tmp_path, toy_wave):
+    """Stereo integer PCM must be scaled to [-1,1] BEFORE downmixing."""
+    from scipy.io import wavfile
+    wave, sr = toy_wave
+    stereo = np.stack([wave, 0.5 * wave], axis=1)
+    pcm = (np.clip(stereo, -1, 1) * 32767).astype(np.int16)
+    p = str(tmp_path / "stereo.wav")
+    wavfile.write(p, sr, pcm)
+    back, sr2 = read_wave(p)
+    assert back.ndim == 1 and sr2 == sr
+    assert np.abs(back).max() <= 1.0
+    np.testing.assert_allclose(back, stereo.mean(axis=1), atol=2e-4)

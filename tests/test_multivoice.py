@@ -79,3 +79,31 @@ def test_multivoice_batch_respects_partition(two_voices):
         assert (got_voice == vids[b]).all(), f"utt {b} leaked across voices"
     assert np.isfinite(np.asarray(costs)).all()
     assert (np.asarray(totals) > 1000).all()
+
+
+def test_synthesiser_multivoice_api(two_voices):
+    """Merged DBs work through the high-level Synthesiser API with a voice
+    argument; omitting it raises; selection never leaks across voices."""
+    cfg, merged, (utts_a, utts_b), (db_a, db_b) = two_voices
+    synth = Synthesiser(cfg, db=merged)
+    assert synth.is_multivoice
+
+    with pytest.raises(ValueError):
+        synth.synth_from_features(utts_a[0].features)
+
+    for voice, utt in [("alice", utts_a[0]), ("bob", utts_b[0]), (1, utts_b[1])]:
+        r = synth.synth_from_features(utt.features, voice=voice)
+        vid = synth._voice_code(voice)
+        got = merged.unit_code[r["unit_ids"]]
+        assert (got == vid).all(), f"voice {voice} leaked"
+
+    with pytest.raises(KeyError):
+        synth.synth_from_features(utts_a[0].features, voice="nobody")
+
+    # batched with mixed voices
+    with pytest.raises(ValueError):
+        synth.synth_batch([utts_a[0].features])
+    results = synth.synth_batch(
+        [utts_a[0].features, utts_b[0].features], voices=["alice", "bob"])
+    assert (merged.unit_code[results[0]["unit_ids"]] == 0).all()
+    assert (merged.unit_code[results[1]["unit_ids"]] == 1).all()
