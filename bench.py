@@ -115,6 +115,18 @@ def main(argv=None) -> int:
     audio_sec = float(total_samples.sum()) / args.sample_rate
     rtf = wall / audio_sec
     units_per_sec = args.batch * args.t / wall
+
+    if args.precision != "highest" and not args.quick:
+        # fidelity check: unit-sequence agreement of the fast-precision path
+        # against exact-f32 selection on the same batch (the >=99% criterion)
+        ref = batched_synth_step(
+            sv, targets, lengths, jnp.float32(0.7), jnp.float32(0.0),
+            mesh=mesh, n_cand=args.n_candidates, chunk=args.chunk,
+            max_frag=512, out_len=out_len, taper=taper,
+            use_pallas=not args.no_pallas, mm_precision="highest")
+        agree = float((np.asarray(out[0]) == np.asarray(ref[0])).mean())
+        print(f"# unit-sequence agreement ({args.precision} vs exact f32): "
+              f"{agree:.5f}", file=sys.stderr)
     print(
         f"# steady-state: {wall*1e3:.1f} ms/step (throughput), "
         f"{latency*1e3:.1f} ms single-step latency, "
