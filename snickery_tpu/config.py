@@ -35,8 +35,9 @@ class SnickeryConfig:
     sample_rate: int = 16000
 
     # ---- unit type ----
-    target_representation: str = "epoch"   # "epoch" | "halfphone"
-    multiepoch: int = 1                     # units span k epochs (k>=1)
+    target_representation: str = "epoch"   # "epoch" | "halfphone" | "sample"
+    multiepoch: int = 1                     # units span k epochs/frames (k>=1)
+    sample_hop: int = 80                    # frame hop for "sample" units (samples)
 
     # ---- selection ----
     n_candidates: int = 30
@@ -73,7 +74,7 @@ class SnickeryConfig:
     output_dir: str = ""
 
     def __post_init__(self) -> None:
-        if self.target_representation not in ("epoch", "halfphone"):
+        if self.target_representation not in ("epoch", "halfphone", "sample"):
             raise ValueError(f"unknown target_representation {self.target_representation!r}")
         if self.multiepoch < 1:
             raise ValueError("multiepoch must be >= 1")

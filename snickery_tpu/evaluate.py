@@ -1,0 +1,95 @@
+"""Objective quality evaluation.
+
+The reference validated quality by MUSHRA listening tests (SURVEY.md §4) —
+not reproducible here.  This module provides the standard objective proxy:
+mel-cepstral distortion (MCD) between synthesised and reference audio, with
+DTW alignment (synthesis output lengths differ from the originals), plus a
+join-discontinuity measure (mean spectral flux at unit boundaries vs within
+units — joins that 'pop' show elevated boundary flux).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from snickery_tpu.features.mel import mfcc
+
+_MCD_CONST = 10.0 / np.log(10.0) * np.sqrt(2.0)
+
+
+def _mfcc(wave: np.ndarray, sr: int, n_ceps: int = 13) -> np.ndarray:
+    return np.asarray(mfcc(np.asarray(wave, np.float32), sr, n_ceps=n_ceps))
+
+
+def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Plain O(T1*T2) DTW over a frame-distance matrix -> aligned index pairs."""
+    t1, t2 = cost.shape
+    acc = np.full((t1 + 1, t2 + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, t1 + 1):
+        lo = acc[i - 1, :-1]          # diag
+        acc[i, 1:] = cost[i - 1]
+        run = np.minimum(lo, acc[i - 1, 1:])
+        # include the horizontal predecessor with a sequential pass
+        prev = np.inf
+        row = acc[i]
+        for j in range(1, t2 + 1):
+            best = min(run[j - 1], prev)
+            row[j] = cost[i - 1, j - 1] + best
+            prev = row[j]
+    # backtrack
+    i, j = t1, t2
+    path_i, path_j = [], []
+    while i > 0 and j > 0:
+        path_i.append(i - 1)
+        path_j.append(j - 1)
+        choices = (acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1])
+        step = int(np.argmin(choices))
+        if step == 0:
+            i, j = i - 1, j - 1
+        elif step == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(path_i[::-1]), np.asarray(path_j[::-1])
+
+
+def mel_cepstral_distortion(
+    synth_wave: np.ndarray, ref_wave: np.ndarray, sr: int, n_ceps: int = 13
+) -> float:
+    """MCD (dB) between two waveforms, DTW-aligned, c0 (energy) excluded."""
+    a = _mfcc(synth_wave, sr, n_ceps)[:, 1:]
+    b = _mfcc(ref_wave, sr, n_ceps)[:, 1:]
+    if len(a) < 2 or len(b) < 2:
+        return float("nan")
+    cost = np.sqrt(
+        ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+    pi, pj = dtw_path(cost)
+    diff = a[pi] - b[pj]
+    return float(_MCD_CONST * np.mean(np.sqrt((diff ** 2).sum(-1))))
+
+
+def join_discontinuity(
+    wave: np.ndarray, sr: int, join_samples: np.ndarray, width: int = 256
+) -> dict:
+    """Spectral flux at unit joins vs within units.
+
+    Returns dict(boundary_flux, interior_flux, ratio); a ratio near 1 means
+    joins are as smooth as natural frame-to-frame evolution.
+    """
+    from snickery_tpu.features.stft import stft
+
+    hop = width // 2
+    spec = np.abs(np.asarray(stft(np.asarray(wave, np.float32), width, hop)))
+    if len(spec) < 3:
+        return {"boundary_flux": float("nan"), "interior_flux": float("nan"),
+                "ratio": float("nan")}
+    flux = np.sqrt(((np.diff(spec, axis=0)) ** 2).sum(-1))
+    frame_of = np.clip(np.asarray(join_samples) // hop, 1, len(flux) - 1)
+    is_boundary = np.zeros(len(flux), bool)
+    is_boundary[frame_of - 1] = True
+    is_boundary[np.clip(frame_of, 0, len(flux) - 1)] = True
+    b = float(flux[is_boundary].mean()) if is_boundary.any() else float("nan")
+    i = float(flux[~is_boundary].mean()) if (~is_boundary).any() else float("nan")
+    return {"boundary_flux": b, "interior_flux": i,
+            "ratio": b / i if i else float("nan")}

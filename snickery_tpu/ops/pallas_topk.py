@@ -174,13 +174,15 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str,
         out_cols_ref[:] = state_cols[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "mm_precision"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "mm_precision", "sort"))
 def pallas_topk_preselect(
     targets: jax.Array,       # (T, d) — T % T_TILE == 0
     db: jax.Array,            # (M, d) — M % CHUNK == 0
     k: int,
     interpret: bool = False,
     mm_precision: str = "highest",   # "highest" (exact f32) | "split3" (bf16_3x)
+    sort: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -225,8 +227,12 @@ def pallas_topk_preselect(
         interpret=interpret,
     )(targets, db, sqn)
     # the kernel keeps its state unsorted; order ascending by (value, col)
-    # here — lexsort matches the oracle's stable-by-index tie-breaking
+    # here — lexsort matches the oracle's stable-by-index tie-breaking.
+    # Callers that treat the k candidates as a SET (the Viterbi pipeline)
+    # pass sort=False and skip the lexsort entirely.
     vals_t, cols_t = vals.T, cols.T
+    if not sort:
+        return cols_t, vals_t
     order = jnp.lexsort((cols_t, vals_t), axis=-1)
     return (jnp.take_along_axis(cols_t, order, axis=-1),
             jnp.take_along_axis(vals_t, order, axis=-1))

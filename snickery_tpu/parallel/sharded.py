@@ -98,7 +98,7 @@ def _select_decode_batch(
         pad = (-rows) % T_TILE              # kernel requires rows % T_TILE == 0
         tw_k = jnp.pad(tw_flat, ((0, pad), (0, 0))) if pad else tw_flat
         idx_local, scores_local = pallas_topk_preselect(
-            tw_k, feats_shard, k=k_local, mm_precision=mm_precision)
+            tw_k, feats_shard, k=k_local, mm_precision=mm_precision, sort=False)
         if pad:
             idx_local = idx_local[:rows]
             scores_local = scores_local[:rows]

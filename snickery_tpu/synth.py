@@ -104,7 +104,7 @@ def synth_pipeline_step(
     if use_pallas and not halfphone and part is None:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
-            tw, db.feats, k=n_cand, mm_precision=mm_precision)
+            tw, db.feats, k=n_cand, mm_precision=mm_precision, sort=False)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling,
@@ -245,7 +245,7 @@ class Synthesiser:
         # merged multi-voice epoch DBs store the voice id in unit_code and
         # the voice-name table in unit_names (voicedb/multivoice.py)
         self.is_multivoice = (
-            db.target_representation == "epoch" and len(db.unit_names) > 0)
+            db.target_representation != "halfphone" and len(db.unit_names) > 0)
         if db.target_representation == "halfphone" or self.is_multivoice:
             codes_arr = np.pad(db.unit_code.astype(np.int32), (0, mp - m),
                                constant_values=-1)

@@ -90,11 +90,18 @@ def prepare_utterance(cfg: SnickeryConfig, base: str) -> UtteranceData | None:
     if sr != cfg.sample_rate:
         raise ValueError(f"{base}: wav sample rate {sr} != config {cfg.sample_rate}")
 
-    pm_path = os.path.join(cfg.pm_datadir, base + ".pm") if cfg.pm_datadir else ""
-    if pm_path and os.path.exists(pm_path):
-        epochs = read_est_pitchmarks(pm_path, sr)
+    if cfg.target_representation == "sample":
+        # sample-level units: a uniform fixed-hop frame grid replaces the
+        # pitch-synchronous epochs (no pitchmarks needed) — the cutting,
+        # search and OLA machinery is shared with epoch mode
+        epochs = np.arange(cfg.sample_hop, len(wave) - 1, cfg.sample_hop,
+                           dtype=np.int32)
     else:
-        epochs = detect_epochs(wave, sr)
+        pm_path = os.path.join(cfg.pm_datadir, base + ".pm") if cfg.pm_datadir else ""
+        if pm_path and os.path.exists(pm_path):
+            epochs = read_est_pitchmarks(pm_path, sr)
+        else:
+            epochs = detect_epochs(wave, sr)
     epochs = epochs[(epochs >= 0) & (epochs < len(wave))]
     if len(epochs) < 4:
         logger.warning("%s: only %d epochs, skipping", base, len(epochs))
@@ -108,7 +115,7 @@ def prepare_utterance(cfg: SnickeryConfig, base: str) -> UtteranceData | None:
     n = min(len(feats), len(epochs))
     feats, epochs = feats[:n], epochs[:n]
 
-    if cfg.trim_silence and cfg.target_representation == "epoch":
+    if cfg.trim_silence and cfg.target_representation != "halfphone":
         # epoch-mode silence trimming: drop leading/trailing epochs whose
         # local energy is far below the utterance peak (features are sliced
         # with the same range so stream files stay aligned; halfphone mode

@@ -37,8 +37,8 @@ def merge_voicedbs(dbs: list[VoiceDB], names: list[str] | None = None) -> VoiceD
             raise ValueError("cannot merge different unit types")
         if db.target_dim != base.target_dim or db.sample_rate != base.sample_rate:
             raise ValueError("cannot merge DBs with different dims/sample rates")
-    if base.target_representation != "epoch":
-        raise NotImplementedError("multi-voice merging supports epoch DBs")
+    if base.target_representation == "halfphone":
+        raise NotImplementedError("multi-voice merging supports epoch/sample DBs")
     names = names or [f"voice{i}" for i in range(len(dbs))]
 
     feats = np.concatenate([db.unit_features for db in dbs])

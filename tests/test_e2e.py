@@ -217,3 +217,44 @@ def test_streaming_flushes_leftover_multiepoch():
     expect_units = -(-len(feats) // 4)
     # audio length ≈ units * ~4 epochs * period; just check the tail isn't dropped
     assert len(audio) > (expect_units - 1) * 4 * 100
+
+
+def test_sample_level_units(tmp_path):
+    """target_representation='sample': fixed-hop units, no pitchmarks."""
+    import json
+    from snickery_tpu.cli import main as cli_main
+    from snickery_tpu.io.speech import read_wave, write_wave
+    from tests.toyvoice import SR, synth_utterance
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    for i in range(2):
+        wave, _ = synth_utterance(500 + i, n_segments=4)
+        write_wave(wave, str(wav_dir / f"s{i}.wav"), SR)
+    cfg = {
+        "workdir": str(tmp_path / "work"),
+        "wav_datadir": str(wav_dir),
+        "target_representation": "sample",
+        "sample_hop": 96,
+        "multiepoch": 2,
+        "stream_list": ["mag", "real", "imag", "lf0"],
+        "datadims": {"mag": 60, "real": 45, "imag": 45, "lf0": 1},
+        "sample_rate": SR,
+        "n_candidates": 8,
+        "taper_length": 32,
+        "length_buckets": [64, 128],
+        "voice_name": "sampletoy",
+    }
+    cfg_path = tmp_path / "s.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert cli_main(["train", "-c", str(cfg_path)]) == 0
+    from snickery_tpu.voicedb.db import VoiceDB
+    db = VoiceDB.load(str(tmp_path / "work" / "sampletoy.voicedb"))
+    assert db.target_representation == "sample"
+    # uniform grid: all unit spans are exactly multiepoch * hop
+    spans = db.cutpoints[:, 2] - db.cutpoints[:, 1]
+    assert (spans == 2 * 96).all()
+    out = tmp_path / "out"
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out), "s0"]) == 0
+    audio, sr = read_wave(str(out / "s0.wav"))
+    assert len(audio) > 1000 and np.abs(audio).max() > 0.01

@@ -1,0 +1,55 @@
+"""Objective quality metrics: MCD + join discontinuity."""
+
+import numpy as np
+
+from snickery_tpu.evaluate import (
+    dtw_path, join_discontinuity, mel_cepstral_distortion,
+)
+
+
+def test_mcd_identity_is_zero(toy_wave):
+    wave, sr = toy_wave
+    assert mel_cepstral_distortion(wave, wave, sr) < 1e-4
+
+
+def test_mcd_orders_degradation(toy_wave, rng):
+    wave, sr = toy_wave
+    slight = wave + 0.01 * rng.standard_normal(len(wave)).astype(np.float32)
+    heavy = wave + 0.3 * rng.standard_normal(len(wave)).astype(np.float32)
+    m_slight = mel_cepstral_distortion(slight, wave, sr)
+    m_heavy = mel_cepstral_distortion(heavy, wave, sr)
+    assert 0 < m_slight < m_heavy
+
+
+def test_mcd_handles_length_mismatch(toy_wave):
+    wave, sr = toy_wave
+    shorter = wave[: int(0.8 * len(wave))]
+    m = mel_cepstral_distortion(shorter, wave, sr)
+    assert np.isfinite(m) and m < 5.0     # DTW absorbs the truncation
+
+
+def test_dtw_diagonal_for_identical():
+    cost = 1.0 - np.eye(6)
+    pi, pj = dtw_path(cost)
+    assert (pi == pj).all()
+
+
+def test_join_discontinuity_flags_clicks(toy_wave, rng):
+    wave, sr = toy_wave
+    joins = np.arange(2000, len(wave) - 2000, 2000)
+    smooth = join_discontinuity(wave, sr, joins)
+    clicky = wave.copy()
+    for j in joins:                       # hard discontinuities at joins
+        clicky[j:] = -clicky[j:]
+    r2 = join_discontinuity(clicky, sr, joins)
+    assert r2["ratio"] > smooth["ratio"]
+
+
+def test_quality_script(tmp_path, toy_wave):
+    import scripts.evaluate_quality as eq
+    from snickery_tpu.io.speech import write_wave
+    wave, sr = toy_wave
+    (tmp_path / "synth").mkdir(); (tmp_path / "ref").mkdir()
+    write_wave(wave, str(tmp_path / "synth" / "a.wav"), sr)
+    write_wave(wave, str(tmp_path / "ref" / "a.wav"), sr)
+    assert eq.main(["-s", str(tmp_path / "synth"), "-r", str(tmp_path / "ref")]) == 0
