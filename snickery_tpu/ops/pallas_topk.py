@@ -80,9 +80,15 @@ def _split3_dot(db, tgt):
     return d(db_hi, tgt_hi) + d(db_hi, tgt_lo) + d(db_lo, tgt_hi)
 
 
-def _topk_kernel(k: int, n_chunks: int, mm_precision: str,
-                 tgt_ref, db_ref, sqn_ref, out_vals_ref, out_cols_ref,
-                 state_vals, state_cols):
+def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
+                 *refs):
+    if has_part:
+        (tgt_ref, db_ref, sqn_ref, tpart_ref, dpart_ref,
+         out_vals_ref, out_cols_ref, state_vals, state_cols) = refs
+    else:
+        (tgt_ref, db_ref, sqn_ref,
+         out_vals_ref, out_cols_ref, state_vals, state_cols) = refs
+        tpart_ref = dpart_ref = None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -100,6 +106,11 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)        # (CHUNK, T_TILE)
     s = sqn_ref[0] - 2.0 * cross                       # (CHUNK, 1) broadcasts
+    if has_part:
+        # hard-restrict to matching partition (voice) ids: mismatches can
+        # never be selected (inf never beats any kept value)
+        mismatch = dpart_ref[0] != tpart_ref[0]        # (CHUNK,1) vs (1,T_TILE)
+        s = jnp.where(mismatch, jnp.inf, s)
 
     folded = s.reshape(NB, BLOCK, T_TILE)              # free leading-dim split
     iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (NB, T_TILE), 0)
@@ -183,6 +194,8 @@ def pallas_topk_preselect(
     interpret: bool = False,
     mm_precision: str = "highest",   # "highest" (exact f32) | "split3" (bf16_3x)
     sort: bool = True,
+    partition: tuple | None = None,  # (tgt_part (T,), db_part (M,)) int32:
+                                     # restrict selection to matching ids
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -199,17 +212,29 @@ def pallas_topk_preselect(
     assert M % CHUNK == 0, f"M={M} must be a multiple of {CHUNK}"
     n_chunks = M // CHUNK
     sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, CHUNK, 1)
+    has_part = partition is not None
 
-    kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision)
+    in_specs = [
+        pl.BlockSpec((T_TILE, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((CHUNK, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CHUNK, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [targets, db, sqn]
+    if has_part:
+        tgt_part, db_part = partition
+        operands.append(tgt_part.astype(jnp.int32).reshape(T // T_TILE, 1, T_TILE))
+        operands.append(db_part.astype(jnp.int32).reshape(n_chunks, CHUNK, 1))
+        in_specs.append(pl.BlockSpec((1, 1, T_TILE), lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, CHUNK, 1), lambda i, j: (j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision, has_part)
     grid = (T // T_TILE, n_chunks)
     vals, cols = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((T_TILE, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((k, T_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, T_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -225,7 +250,7 @@ def pallas_topk_preselect(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(targets, db, sqn)
+    )(*operands)
     # the kernel keeps its state unsorted; order ascending by (value, col)
     # here — lexsort matches the oracle's stable-by-index tie-breaking.
     # Callers that treat the k candidates as a SET (the Viterbi pipeline)

@@ -92,18 +92,24 @@ def _select_decode_batch(
     tw_flat = tw.reshape(B * T, D)
 
     k_local = min(n_cand, m_local)
-    if use_pallas and not multivoice:
+    tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)            # (B*T,)
+    if use_pallas:
         from snickery_tpu.ops.pallas_topk import T_TILE, pallas_topk_preselect
         rows = tw_flat.shape[0]
         pad = (-rows) % T_TILE              # kernel requires rows % T_TILE == 0
         tw_k = jnp.pad(tw_flat, ((0, pad), (0, 0))) if pad else tw_flat
+        part = None
+        if multivoice:
+            # padded target rows get id -1: they match no DB unit
+            tp = jnp.pad(tgt_part, (0, pad), constant_values=-1) if pad else tgt_part
+            part = (tp, part_shard)
         idx_local, scores_local = pallas_topk_preselect(
-            tw_k, feats_shard, k=k_local, mm_precision=mm_precision, sort=False)
+            tw_k, feats_shard, k=k_local, mm_precision=mm_precision, sort=False,
+            partition=part)
         if pad:
             idx_local = idx_local[:rows]
             scores_local = scores_local[:rows]
     else:
-        tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)        # (B*T,)
         idx_local, scores_local = topk_preselect(
             tw_flat, feats_shard, k=k_local, chunk=chunk,
             partition=(tgt_part, part_shard))

@@ -101,10 +101,11 @@ def synth_pipeline_step(
 
     ling = (tgt_codes, tgt_ctx, db.codes, db.ctx) if halfphone else None
     part = (tgt_codes, db.codes) if (multivoice and not halfphone) else None
-    if use_pallas and not halfphone and part is None:
+    if use_pallas and not halfphone:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
-            tw, db.feats, k=n_cand, mm_precision=mm_precision, sort=False)
+            tw, db.feats, k=n_cand, mm_precision=mm_precision, sort=False,
+            partition=part)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling,
@@ -302,7 +303,6 @@ class Synthesiser:
         import jax as _jax
         return (self.cfg.use_pallas
                 and self.db.target_representation != "halfphone"
-                and not self.is_multivoice      # kernel lacks partition masks
                 and _jax.default_backend() not in ("cpu",))
 
     def _run_pipeline(self, tgt_pad, t_units, codes, ctx, n_cand: int, greedy: bool):

@@ -64,3 +64,21 @@ def test_pipelined_kernel_exact(rng):
         jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True)
     ref_idx, ref_sq = oracle.preselect(targets, db, k)
     assert (np.asarray(idx) == ref_idx).mean() == 1.0
+
+
+def test_pallas_partition_restricts_selection(rng):
+    """Partition (multi-voice) masks inside the kernel: selected units always
+    match the target's id and agree with the partition-masked oracle."""
+    T, M, d, k = T_TILE, CHUNK, 24, 10
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    tgt_part = rng.integers(0, 3, T).astype(np.int32)
+    db_part = rng.integers(0, 3, M).astype(np.int32)
+    idx, vals = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        partition=(jnp.asarray(tgt_part), jnp.asarray(db_part)))
+    idx = np.asarray(idx)
+    assert (db_part[idx] == tgt_part[:, None]).all()
+    extra = np.where(tgt_part[:, None] != db_part[None, :], 1e30, 0.0)
+    ref_idx, _ = oracle.preselect(targets, db, k, extra=extra)
+    assert (idx == ref_idx).mean() == 1.0
