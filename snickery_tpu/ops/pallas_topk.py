@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 T_TILE = 256       # target rows per grid step (VMEM-bounded: the
                    # while-carried fold array is multi-buffered by Mosaic)
 CHUNK = 2048       # DB rows per grid step
-BLOCK = 8          # sub-block fold width (leading-dim split: any granularity)
+BLOCK = 16         # sub-block fold width (leading-dim split: any granularity)
 NB = CHUNK // BLOCK
 
 
