@@ -109,7 +109,6 @@ def main(argv=None) -> int:
     out = outs[-1]
     sync(out)
     wall = (time.time() - t0) / args.iters
-    times = [wall] * args.iters
 
     total_samples = np.asarray(out[3])
     audio_sec = float(total_samples.sum()) / args.sample_rate

@@ -8,10 +8,10 @@ Layout and algorithm (chosen against measured Mosaic/axon behaviour):
 
 - TRANSPOSED scores: the per-step matmul computes (CHUNK, T_TILE) =
   db_tile @ targets_tile^T, so the DB axis is the LEADING dim and folding
-  into BLOCK=8 sub-blocks is a free leading-dim reshape (Mosaic only allows
-  lane-dim splits at 128, but leading-dim splits at any granularity).
-  Small blocks (NB = CHUNK/8 = 512 >> k) make one selection phase almost
-  always sufficient.
+  into BLOCK-row sub-blocks is a free leading-dim reshape (Mosaic only
+  allows lane-dim splits at 128, but leading-dim splits at any
+  granularity).  Small blocks (NB = CHUNK/BLOCK blocks of BLOCK=16 rows,
+  NB=128 >> k) make one selection phase almost always sufficient.
 - Phase loop (while_loop, exact): per phase compute per-block min + in-block
   argmin (constant full passes over the chunk scores, which never leave
   VMEM); then a pick while_loop extracts best blocks one at a time, but
@@ -198,6 +198,12 @@ def pallas_topk_preselect(
                                      # restrict selection to matching ids
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
+
+    Partition contract: a target row whose partition id matches fewer than
+    ``k`` DB rows gets its unfilled slots left as (score=inf, index=0) —
+    callers must guarantee every live partition has >= k members (the
+    Synthesiser validates this at load time) or treat inf-score slots as
+    absent.
 
     Returns (indices (T, k) int32, scores (T, k) f32 ascending — squared
     distances minus ||t||^2, same convention as ops.topk.topk_preselect).

@@ -139,26 +139,49 @@ def synth_pipeline_step(
     return unit_ids, total_cost, audio, total_samples
 
 
-@functools.partial(jax.jit, static_argnames=("n_cand", "chunk"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_cand", "chunk", "use_pallas", "mm_precision", "multivoice",
+    "max_frag", "out_len", "taper"))
 def _streaming_step(
     db: DeviceDB,
     targets: jax.Array,      # (T, D) unit-rate targets (padded)
     length: jax.Array,       # scalar int32
+    tgt_codes: jax.Array,    # (T,) voice id per step (multi-voice DBs)
     init_ctx: jax.Array,     # (dj,) running join context from previous chunk
     jcw_first: jax.Array,    # join weight for the first step (0 at stream start)
     jcw_rest: jax.Array,     # join weight once a context exists
     *,
     n_cand: int,
     chunk: int,
+    use_pallas: bool,
+    mm_precision: str,
+    multivoice: bool,
+    max_frag: int,
+    out_len: int,
+    taper: int,
 ):
-    """One streaming-decode step: preselect + greedy decode with an
-    incoming join context; returns (unit ids (T,), outgoing context (dj,))."""
+    """One streaming-decode step, fully on device: preselect + greedy decode
+    with an incoming join context + chunk OLA.  Returns (unit ids (T,),
+    outgoing context (dj,), audio (out_len,), total_samples scalar).
+
+    The audio covers this chunk's units *including* their leading and
+    trailing tapers; the caller crossfades consecutive chunks by summing the
+    trailing 2*taper samples into the next chunk's head (identical maths to
+    one whole-utterance OLA because the ramps are complementary)."""
     T = targets.shape[0]
     tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
     tw = tnorm * db.sqrt_wt[None, :]
     live = jnp.arange(T, dtype=jnp.int32) < length
     tw = jnp.where(live[:, None], tw, 0.0)
-    cand_idx, scores = topk_preselect(tw, db.feats, k=n_cand, chunk=chunk)
+    part = (tgt_codes, db.codes) if multivoice else None
+    if use_pallas:
+        from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
+        cand_idx, scores = pallas_topk_preselect(
+            tw, db.feats, k=n_cand, mm_precision=mm_precision, sort=False,
+            partition=part)
+    else:
+        cand_idx, scores = topk_preselect(
+            tw, db.feats, k=n_cand, chunk=chunk, partition=part)
     tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
     target_costs = jnp.where(live[:, None],
                              jnp.sqrt(jnp.maximum(scores + tsq, 0.0)), 0.0)
@@ -179,7 +202,11 @@ def _streaming_step(
     (ctx_out, _), path = jax.lax.scan(
         step, (init_ctx, jcw_first), (target_costs, jl_cand, jr_cand, live))
     unit_ids = jnp.take_along_axis(cand_idx, path[:, None], axis=1)[:, 0]
-    return jnp.where(live, unit_ids, 0), ctx_out
+    unit_ids = jnp.where(live, unit_ids, 0)
+    audio, total = overlap_add_units(
+        db.waves, db.cut1[unit_ids], db.cut2[unit_ids], n_units=length,
+        max_frag=max_frag, out_len=out_len, taper=taper)
+    return unit_ids, ctx_out, audio, total
 
 
 class Synthesiser:
@@ -247,6 +274,19 @@ class Synthesiser:
         # the voice-name table in unit_names (voicedb/multivoice.py)
         self.is_multivoice = (
             db.target_representation != "halfphone" and len(db.unit_names) > 0)
+        if self.is_multivoice:
+            # Partition-restricted preselect contract: a voice with fewer
+            # live units than n_candidates leaves (inf, unit 0) slots in the
+            # candidate state, which would silently degenerate the Viterbi
+            # path (ADVICE.md round 1) — reject such DBs up front.
+            counts = np.bincount(db.unit_code, minlength=len(db.unit_names))
+            short = [db.unit_names[v] for v in np.nonzero(
+                counts < cfg.n_candidates)[0]]
+            if short:
+                raise ValueError(
+                    f"multi-voice DB: voices {short} have fewer than "
+                    f"n_candidates={cfg.n_candidates} units; selection for "
+                    "them would be degenerate")
         if db.target_representation == "halfphone" or self.is_multivoice:
             codes_arr = np.pad(db.unit_code.astype(np.int32), (0, mp - m),
                                constant_values=-1)
@@ -467,7 +507,8 @@ class Synthesiser:
             })
         return results
 
-    def synth_streaming(self, feature_chunks, greedy: bool = True):
+    def synth_streaming(self, feature_chunks, greedy: bool = True,
+                        voice=None):
         """Streaming synthesis: consume epoch-rate feature chunks, yield
         audio chunks as soon as their units are decided.
 
@@ -476,21 +517,32 @@ class Synthesiser:
         with the join context carried across chunk boundaries (the reference
         greedy_search variant generalised to a stream); each yielded audio
         chunk is OLA-complete except for its trailing taper, which is summed
-        into the next chunk.
+        into the next chunk.  The whole per-chunk step — preselect (Pallas
+        when enabled), greedy decode, chunk OLA — is ONE device program;
+        the host only carries the 2*taper crossfade tail between chunks.
 
         ``feature_chunks``: iterable of (n_epochs_i, d) arrays.
+        ``voice``: required for multi-voice DBs — name or id to select from.
         Yields float32 audio arrays.
         """
         cfg = self.cfg
         if self.db.target_representation == "halfphone":
             raise NotImplementedError("streaming synthesis is epoch-mode only")
+        if self.is_multivoice and voice is None:
+            raise ValueError(
+                "this is a multi-voice DB: pass voice=<name or id> "
+                f"(available: {self.db.unit_names})")
+        vid = self._voice_code(voice) if self.is_multivoice else 0
         k = self.frames_per_unit
         d = cfg.target_dim
         ddb = self.device_db
+        use_pallas = self._use_pallas()
         ctx = None                          # running join context (dj,)
-        tail = np.zeros(2 * cfg.taper_length, np.float32)
+        t2 = 2 * cfg.taper_length
+        tail = np.zeros(t2, np.float32)
         leftover = np.zeros((0, d), np.float32)
         n_cand = min(cfg.n_candidates, self.n_units_padded)
+        self.last_stream_unit_ids: list[np.ndarray] = []   # diagnostics
 
         def chunks_then_flush():
             yield from feature_chunks
@@ -517,21 +569,28 @@ class Synthesiser:
                 leftover = np.zeros((0, d), np.float32)
             tgt = feats[: t_units * k].reshape(t_units, k * d)
             t_bucket = utils.bucket_length(t_units, tuple(cfg.length_buckets))
+            if use_pallas:
+                from snickery_tpu.ops.pallas_topk import T_TILE
+                t_bucket = utils.next_multiple(t_bucket, T_TILE)
             tgt_pad = np.pad(tgt, ((0, t_bucket - t_units), (0, 0)))
-            unit_ids, ctx = _streaming_step(
+            codes = np.full(t_bucket, -1, np.int32)
+            codes[:t_units] = vid
+            out_len = utils.next_multiple(
+                t_bucket * self.max_span + t2, 128)
+            unit_ids, ctx, audio, total = _streaming_step(
                 ddb, jnp.asarray(tgt_pad), jnp.int32(t_units),
+                jnp.asarray(codes),
                 (jnp.zeros((ddb.jl.shape[1],), jnp.float32) if ctx is None else ctx),
                 jnp.float32(0.0 if ctx is None else cfg.join_cost_weight),
                 jnp.float32(cfg.join_cost_weight),
-                n_cand=n_cand, chunk=self.chunk)
-            unit_ids = np.asarray(jax.device_get(unit_ids))[:t_units]
-            # render this chunk's audio on host (chunk sizes are small and
-            # latency matters more than throughput here)
-            cut1 = self.db.cutpoints[unit_ids, 1]
-            cut2 = self.db.cutpoints[unit_ids, 2]
-            from snickery_tpu.oracle import overlap_add
-            audio = overlap_add(self.db.waves, cut1, cut2, cfg.taper_length)
-            t2 = 2 * cfg.taper_length
+                n_cand=n_cand, chunk=self.chunk, use_pallas=use_pallas,
+                mm_precision=cfg.preselect_precision,
+                multivoice=self.is_multivoice,
+                max_frag=self.max_frag, out_len=out_len,
+                taper=cfg.taper_length)
+            self.last_stream_unit_ids.append(
+                np.asarray(jax.device_get(unit_ids))[:t_units])
+            audio = np.array(jax.device_get(audio))[: int(total)]
             audio[:t2] += tail
             tail = audio[-t2:].copy()
             yield audio[:-t2]

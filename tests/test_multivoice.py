@@ -107,3 +107,22 @@ def test_synthesiser_multivoice_api(two_voices):
         [utts_a[0].features, utts_b[0].features], voices=["alice", "bob"])
     assert (merged.unit_code[results[0]["unit_ids"]] == 0).all()
     assert (merged.unit_code[results[1]["unit_ids"]] == 1).all()
+
+
+def test_streaming_multivoice_requires_and_respects_voice(two_voices):
+    """synth_streaming must demand a voice on merged DBs and never leak
+    units across the partition (ADVICE.md round 1, medium)."""
+    cfg, merged, (utts_a, utts_b), (db_a, db_b) = two_voices
+    synth = Synthesiser(cfg, db=merged)
+    feats = utts_b[0].features[1:-1]
+    n = len(feats)
+    chunks = [feats[: n // 2], feats[n // 2:]]
+
+    with pytest.raises(ValueError):
+        list(synth.synth_streaming(iter(chunks)))
+
+    audio = list(synth.synth_streaming(iter(chunks), voice="bob"))
+    assert sum(len(a) for a in audio) > 1000
+    ids = np.concatenate(synth.last_stream_unit_ids)
+    assert len(ids) > 10
+    assert (merged.unit_code[ids] == 1).all(), "streaming leaked across voices"

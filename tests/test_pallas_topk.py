@@ -1,5 +1,12 @@
 """Pallas fused top-k kernel vs the float64 oracle (interpret mode on CPU;
-the compiled path is exercised by bench.py on real TPU hardware)."""
+the compiled path is exercised by bench.py on real TPU hardware).
+
+Each test draws from its OWN fixed-seed generator (not the session-scoped
+``rng`` fixture) so results cannot depend on which tests ran before, and
+index assertions tolerate swaps among float32 near-ties: two units whose
+float64 distances differ below f32 resolution may legitimately change rank
+on the f32 kernel path (ADVICE.md round 1).
+"""
 
 import numpy as np
 import jax.numpy as jnp
@@ -11,28 +18,45 @@ from snickery_tpu.ops.pallas_topk import (
 )
 
 
+def _assert_topk_matches(idx, vals, targets, ref_idx, ref_sq,
+                         max_mismatch=0.005):
+    """Scores must match the oracle within f32 tolerance everywhere; index
+    disagreements are allowed only at near-tied ranks, and only rarely."""
+    idx = np.asarray(idx)
+    true_sq = (np.asarray(vals).astype(np.float64)
+               + (targets.astype(np.float64) ** 2).sum(-1, keepdims=True))
+    np.testing.assert_allclose(true_sq, ref_sq, rtol=1e-3, atol=1e-3)
+    mism = idx != ref_idx
+    if mism.any():
+        assert mism.mean() <= max_mismatch, (
+            f"index mismatch rate {mism.mean():.5f}")
+        # every disagreement must be a near-tie (f32-level score collision)
+        np.testing.assert_allclose(true_sq[mism], ref_sq[mism],
+                                   rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize(
-    "T,M,d,k",
-    [(T_TILE, CHUNK, 24, 8),            # single chunk
-     (T_TILE, 2 * CHUNK, 24, 30),       # multi chunk
-     (2 * T_TILE, 3 * CHUNK, 151, 30)]  # realistic dim, multi tile
+    "T,M,d,k,seed",
+    [(T_TILE, CHUNK, 24, 8, 11),            # single chunk
+     (T_TILE, 2 * CHUNK, 24, 30, 12),       # multi chunk
+     (2 * T_TILE, 3 * CHUNK, 151, 30, 13)]  # realistic dim, multi tile
 )
-def test_pallas_topk_exact(rng, T, M, d, k):
+def test_pallas_topk_exact(T, M, d, k, seed):
+    rng = np.random.default_rng(seed)
     targets = rng.standard_normal((T, d)).astype(np.float32)
     db = rng.standard_normal((M, d)).astype(np.float32)
     idx, vals = pallas_topk_preselect(
         jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True)
     ref_idx, ref_sq = oracle.preselect(targets, db, k)
-    assert (np.asarray(idx) == ref_idx).mean() == 1.0
-    true_sq = np.asarray(vals) + (targets ** 2).sum(-1, keepdims=True)
-    np.testing.assert_allclose(true_sq, ref_sq, rtol=1e-3, atol=1e-3)
+    _assert_topk_matches(idx, vals, targets, ref_idx, ref_sq)
 
 
-def test_pallas_topk_duplicate_pileup(rng):
+def test_pallas_topk_duplicate_pileup():
     """Worst case: many identical DB rows land the whole top-k in one block.
 
     Values must still be exact; index order may differ from the oracle only
     among exact ties (identical units — harmless for synthesis)."""
+    rng = np.random.default_rng(21)
     T, M, d, k = T_TILE, CHUNK, 16, 30
     targets = rng.standard_normal((T, d)).astype(np.float32)
     db = rng.standard_normal((M, d)).astype(np.float32)
@@ -42,9 +66,15 @@ def test_pallas_topk_duplicate_pileup(rng):
     ref_idx, ref_sq = oracle.preselect(targets, db, k)
     true_sq = np.sort(np.asarray(vals)) + (targets ** 2).sum(-1, keepdims=True)
     np.testing.assert_allclose(true_sq, np.sort(ref_sq), rtol=1e-3, atol=1e-3)
+    # identical rows are interchangeable: canonicalise 100..139 -> 50 before
+    # comparing candidate sets (ties among exact duplicates may resolve to
+    # any member on either side)
+    alias = np.arange(M)
+    alias[100:140] = 50
     set_agree = np.mean([
-        len(set(np.asarray(idx)[r]) & set(ref_idx[r])) / k for r in range(T)])
-    assert set_agree > 0.99
+        len(set(alias[np.asarray(idx)[r]]) & set(alias[ref_idx[r]]))
+        / len(set(alias[ref_idx[r]])) for r in range(T)])
+    assert set_agree > 0.999
 
 
 def test_pad_for_pallas():
@@ -53,22 +83,24 @@ def test_pad_for_pallas():
     assert M % CHUNK == 0 and M >= 5000
 
 
-def test_pipelined_kernel_exact(rng):
+def test_pipelined_kernel_exact():
     """Experimental pipelined variant stays correct (interpret mode)."""
     from snickery_tpu.ops.pallas_topk_pipelined import (
         CHUNK as PCHUNK, T_TILE as PT, pallas_topk_pipelined)
+    rng = np.random.default_rng(31)
     T, M, d, k = PT, 3 * PCHUNK, 151, 20
     targets = rng.standard_normal((T, d)).astype(np.float32)
     db = rng.standard_normal((M, d)).astype(np.float32)
     idx, vals = pallas_topk_pipelined(
         jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True)
     ref_idx, ref_sq = oracle.preselect(targets, db, k)
-    assert (np.asarray(idx) == ref_idx).mean() == 1.0
+    _assert_topk_matches(idx, vals, targets, ref_idx, ref_sq)
 
 
-def test_pallas_partition_restricts_selection(rng):
+def test_pallas_partition_restricts_selection():
     """Partition (multi-voice) masks inside the kernel: selected units always
     match the target's id and agree with the partition-masked oracle."""
+    rng = np.random.default_rng(41)
     T, M, d, k = T_TILE, CHUNK, 24, 10
     targets = rng.standard_normal((T, d)).astype(np.float32)
     db = rng.standard_normal((M, d)).astype(np.float32)
@@ -80,5 +112,5 @@ def test_pallas_partition_restricts_selection(rng):
     idx = np.asarray(idx)
     assert (db_part[idx] == tgt_part[:, None]).all()
     extra = np.where(tgt_part[:, None] != db_part[None, :], 1e30, 0.0)
-    ref_idx, _ = oracle.preselect(targets, db, k, extra=extra)
-    assert (idx == ref_idx).mean() == 1.0
+    ref_idx, ref_sq = oracle.preselect(targets, db, k, extra=extra)
+    assert (idx == ref_idx).mean() > 0.995
