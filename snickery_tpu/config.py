@@ -48,6 +48,11 @@ class SnickeryConfig:
     join_cost_type: str = "natural"         # natural join contexts
     search_epsilon: float = 0.0             # beam/epsilon pruning (0 = exact)
     greedy_search: bool = False             # greedy online selection variant
+    # quinphone preselection penalties (halfphone mode); see const.py for the
+    # rationale — these are design decisions, so they are configurable
+    quinphone_context_weights: list[float] = field(
+        default_factory=lambda: [1.0, 10.0, 0.0, 10.0, 1.0])
+    quinphone_penalty_scale: float = 100.0
     magphase_use_target_f0: bool = True
     magphase_overlap: int = 0
     magphase_smooth_joins: int = 0          # frames of join smoothing (0 = off)

@@ -24,6 +24,18 @@ HALFPHONE_TAGS = ("L", "R")
 # Unvoiced lf0 sentinel on the linear-Hz scale before interpolation.
 UNVOICED_LF0 = -1.0e10
 
+# Quinphone linguistic-preselection penalties (halfphone mode).  A wrong
+# halfphone identity costs BIG_PENALTY; context mismatches cost
+# weight * QUINPHONE_SCALE so that immediate neighbours (weight 10)
+# dominate second-order context (weight 1) and any context mismatch
+# outranks acoustic distance.  The centre weight is 0 because the centre
+# phone IS the unit identity (already hard-matched).  These are design
+# decisions (reference mount empty — SURVEY.md provenance warning),
+# overridable per-voice via config keys quinphone_context_weights /
+# quinphone_penalty_scale.
+QUINPHONE_CONTEXT_WEIGHTS = (1.0, 10.0, 0.0, 10.0, 1.0)
+QUINPHONE_SCALE = 100.0
+
 # Default sample rate (Hz) — reference voices are 16 kHz or 48 kHz.
 DEFAULT_SAMPLE_RATE = 16000
 

@@ -81,14 +81,18 @@ def _split3_dot(db, tgt):
 
 
 def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
-                 *refs):
+                 has_ling: bool, ling_weights: tuple, *refs):
+    refs = list(refs)
+    tgt_ref, db_ref, sqn_ref = refs[:3]
+    refs = refs[3:]
+    tpart_ref = dpart_ref = tling_ref = dling_ref = None
     if has_part:
-        (tgt_ref, db_ref, sqn_ref, tpart_ref, dpart_ref,
-         out_vals_ref, out_cols_ref, state_vals, state_cols) = refs
-    else:
-        (tgt_ref, db_ref, sqn_ref,
-         out_vals_ref, out_cols_ref, state_vals, state_cols) = refs
-        tpart_ref = dpart_ref = None
+        tpart_ref, dpart_ref = refs[:2]
+        refs = refs[2:]
+    if has_ling:
+        tling_ref, dling_ref = refs[:2]
+        refs = refs[2:]
+    out_vals_ref, out_cols_ref, state_vals, state_cols = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -111,6 +115,22 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
         # never be selected (inf never beats any kept value)
         mismatch = dpart_ref[0] != tpart_ref[0]        # (CHUNK,1) vs (1,T_TILE)
         s = jnp.where(mismatch, jnp.inf, s)
+    if has_ling:
+        # fused quinphone penalties (halfphone mode): identical maths to
+        # ops.topk.quinphone_penalties — BIG_PENALTY for a halfphone
+        # identity mismatch + weight*scale per context-slot mismatch, so
+        # scores match the XLA fallback path bit-for-bit.
+        dl = dling_ref[0]                              # (CHUNK, 8) int32
+        tl = tling_ref[0]                              # (8, T_TILE) int32
+        from snickery_tpu.const import BIG_PENALTY
+        code_mism = dl[:, 0:1] != tl[0:1, :]           # (CHUNK, T_TILE)
+        s = s + jnp.where(code_mism, jnp.float32(BIG_PENALTY), 0.0)
+        *ctx_w, scale = ling_weights
+        for c, w in enumerate(ctx_w):
+            if w == 0.0:
+                continue
+            mism = (dl[:, c + 1:c + 2] != tl[c + 1:c + 2, :])
+            s = s + jnp.float32(w * scale) * mism.astype(jnp.float32)
 
     folded = s.reshape(NB, BLOCK, T_TILE)              # free leading-dim split
     iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (NB, T_TILE), 0)
@@ -186,7 +206,8 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "interpret", "mm_precision", "sort"))
+                   static_argnames=("k", "interpret", "mm_precision", "sort",
+                                    "ling_weights"))
 def pallas_topk_preselect(
     targets: jax.Array,       # (T, d) — T % T_TILE == 0
     db: jax.Array,            # (M, d) — M % CHUNK == 0
@@ -196,6 +217,11 @@ def pallas_topk_preselect(
     sort: bool = True,
     partition: tuple | None = None,  # (tgt_part (T,), db_part (M,)) int32:
                                      # restrict selection to matching ids
+    linguistic: tuple | None = None, # (tgt_codes (T,), tgt_ctx (T,5),
+                                     #  db_codes (M,), db_ctx (M,5)) int32:
+                                     # fused quinphone penalties (halfphone)
+    ling_weights: tuple | None = None,  # static (w0..w4, scale); defaults to
+                                        # const.QUINPHONE_* when linguistic set
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -219,6 +245,7 @@ def pallas_topk_preselect(
     n_chunks = M // CHUNK
     sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, CHUNK, 1)
     has_part = partition is not None
+    has_ling = linguistic is not None
 
     in_specs = [
         pl.BlockSpec((T_TILE, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -234,8 +261,29 @@ def pallas_topk_preselect(
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec((1, CHUNK, 1), lambda i, j: (j, 0, 0),
                                      memory_space=pltpu.VMEM))
+    if has_ling:
+        if ling_weights is None:
+            from snickery_tpu.const import QUINPHONE_CONTEXT_WEIGHTS, QUINPHONE_SCALE
+            ling_weights = tuple(QUINPHONE_CONTEXT_WEIGHTS) + (QUINPHONE_SCALE,)
+        tgt_codes, tgt_ctx, db_codes, db_ctx = linguistic
+        # pack [code, ctx0..ctx4, 0, 0] into 8 int32 columns (sublane-friendly)
+        tl = jnp.concatenate(
+            [tgt_codes.astype(jnp.int32)[:, None], tgt_ctx.astype(jnp.int32),
+             jnp.zeros((T, 2), jnp.int32)], axis=1)            # (T, 8)
+        tl = tl.reshape(T // T_TILE, T_TILE, 8).transpose(0, 2, 1)  # (Tt, 8, T_TILE)
+        dl = jnp.concatenate(
+            [db_codes.astype(jnp.int32)[:, None], db_ctx.astype(jnp.int32),
+             jnp.zeros((M, 2), jnp.int32)], axis=1).reshape(n_chunks, CHUNK, 8)
+        operands.extend([tl, dl])
+        in_specs.append(pl.BlockSpec((1, 8, T_TILE), lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, CHUNK, 8), lambda i, j: (j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        ling_weights = ()
 
-    kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision, has_part)
+    kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
+                               has_part, has_ling, ling_weights)
     grid = (T // T_TILE, n_chunks)
     vals, cols = pl.pallas_call(
         kernel,

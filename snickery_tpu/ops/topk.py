@@ -109,7 +109,7 @@ def _chunk_topk_hier(scores: jax.Array, k: int, block: int) -> tuple[jax.Array, 
     return vals, col.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "block"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "block", "ling_weights"))
 def topk_preselect(
     targets: jax.Array,          # (T, d) normalised, pre-weighted target features
     db: jax.Array,               # (M, d) normalised, pre-weighted DB features (M % chunk == 0)
@@ -125,6 +125,8 @@ def topk_preselect(
     # partition = (tgt_part (T,), db_part (M,)): hard-restrict candidates to
     # rows whose partition id matches the target's (multi-voice DBs: each
     # utterance selects only from its own voice).  Fused per chunk.
+    ling_weights: tuple | None = None,
+    # static (w0..w4, scale) quinphone penalty weights; None = const defaults
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k nearest DB rows per target frame (exact).
 
@@ -166,7 +168,12 @@ def topk_preselect(
             scores = scores + rest.pop(0)
         if ling is not None:
             code_c, ctx_c = rest.pop(0), rest.pop(0)
-            scores = scores + quinphone_penalties(ling[0], ling[1], code_c, ctx_c)
+            if ling_weights is not None:
+                scores = scores + quinphone_penalties(
+                    ling[0], ling[1], code_c, ctx_c,
+                    context_weights=ling_weights[:5], scale=ling_weights[5])
+            else:
+                scores = scores + quinphone_penalties(ling[0], ling[1], code_c, ctx_c)
         if part is not None:
             part_c = rest.pop(0)
             scores = scores + jnp.where(
@@ -199,7 +206,8 @@ def quinphone_penalties(
     db_codes: jax.Array,           # (M,) int32
     db_contexts: jax.Array,        # (M, 5) int32
     code_mismatch_penalty: float = BIG_PENALTY,
-    context_weights: tuple[float, ...] = (1.0, 10.0, 0.0, 10.0, 1.0),
+    context_weights: tuple[float, ...] | None = None,
+    scale: float | None = None,
 ) -> jax.Array:
     """(T, M) additive penalties for linguistic preselection.
 
@@ -207,12 +215,19 @@ def quinphone_penalties(
     halfphone mode only considers same-name units, SURVEY.md §2 row 3), plus
     graded penalties for quinphone context mismatches — immediate neighbours
     (weight 10) dominate second-order context (weight 1), implementing the
-    reference's back-off matching as a ranking score.
+    reference's back-off matching as a ranking score.  The scale makes any
+    context mismatch outrank acoustic distance (const.QUINPHONE_SCALE;
+    configurable via quinphone_penalty_scale).
     """
+    from snickery_tpu.const import QUINPHONE_CONTEXT_WEIGHTS, QUINPHONE_SCALE
+    if context_weights is None:
+        context_weights = QUINPHONE_CONTEXT_WEIGHTS
+    if scale is None:
+        scale = QUINPHONE_SCALE
     hard = jnp.where(
         target_codes[:, None] != db_codes[None, :], code_mismatch_penalty, 0.0
     )
     w = jnp.asarray(context_weights, jnp.float32)
     mism = (target_contexts[:, None, :] != db_contexts[None, :, :]).astype(jnp.float32)
     soft = jnp.einsum("tmc,c->tm", mism, w)
-    return hard + soft * 100.0     # context outranks acoustic distance
+    return hard + soft * float(scale)

@@ -48,17 +48,21 @@ class ShardedVoice(NamedTuple):
     sqrt_wt: jax.Array    # (D,)  replicated
     part: jax.Array       # (Mp,) per-unit voice/partition id, row-sharded over "db"
                           # (all-zero for single-voice DBs)
+    codes: jax.Array      # (Mp,) halfphone codes, row-sharded (zeros epoch mode)
+    ctx: jax.Array        # (Mp, 5) quinphone codes, row-sharded
 
 
 def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
-                sqrt_wt, part=None) -> ShardedVoice:
+                sqrt_wt, part=None, codes=None, ctx=None) -> ShardedVoice:
     """Place padded DB arrays onto the mesh with the layout above.
 
     ``feats`` must have rows divisible by the db-axis size.
     """
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P("db", None))
+    ids = NamedSharding(mesh, P("db"))
     put = jax.device_put
+    mp = np.shape(feats)[0]
     return ShardedVoice(
         feats=put(jnp.asarray(feats, jnp.float32), rows),
         jl=put(jnp.asarray(jl, jnp.float32), repl),
@@ -70,20 +74,32 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
         std_t=put(jnp.asarray(std_t, jnp.float32), repl),
         sqrt_wt=put(jnp.asarray(sqrt_wt, jnp.float32), repl),
         part=put(jnp.asarray(
-            part if part is not None else np.zeros(np.shape(feats)[0], np.int32),
-            jnp.int32), NamedSharding(mesh, P("db"))),
+            part if part is not None else np.zeros(mp, np.int32),
+            jnp.int32), ids),
+        codes=put(jnp.asarray(
+            codes if codes is not None else np.zeros(mp, np.int32),
+            jnp.int32), ids),
+        ctx=put(jnp.asarray(
+            ctx if ctx is not None else np.zeros((mp, 5), np.int32),
+            jnp.int32), rows),
     )
 
 
 def _select_decode_batch(
-    feats_shard, jl, jr, part_shard, targets, lengths, voice_ids,
+    feats_shard, jl, jr, part_shard, codes_shard, ctx_shard,
+    targets, lengths, voice_ids, tgt_codes, tgt_ctx,
     *, n_cand, chunk, jcw, eps, db_axis, use_pallas=False, multivoice=False,
-    mm_precision="highest"
+    mm_precision="highest", halfphone=False, ling_weights=None,
 ):
     """Batched selection on one device: the whole local batch's target frames
     are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
     matmul scan — ~7x faster than vmapping preselect per utterance), then
     reshaped back for the (cheap, vmapped) Viterbi.  Runs inside shard_map.
+
+    Halfphone mode: quinphone penalties are fused into the local preselect
+    (they pollute the ranking scores, so exact acoustic target costs are
+    recomputed for the k local winners from the LOCAL feature shard before
+    the all_gather — global candidate ids cannot index a shard).
     """
     B, T, D = targets.shape
     m_local = feats_shard.shape[0]
@@ -93,6 +109,10 @@ def _select_decode_batch(
 
     k_local = min(n_cand, m_local)
     tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)            # (B*T,)
+    ling = None
+    if halfphone:
+        ling = (tgt_codes.reshape(B * T), tgt_ctx.reshape(B * T, 5),
+                codes_shard, ctx_shard)
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import T_TILE, pallas_topk_preselect
         rows = tw_flat.shape[0]
@@ -103,30 +123,49 @@ def _select_decode_batch(
             # padded target rows get id -1: they match no DB unit
             tp = jnp.pad(tgt_part, (0, pad), constant_values=-1) if pad else tgt_part
             part = (tp, part_shard)
+        ling_k = ling
+        if ling is not None and pad:
+            ling_k = (jnp.pad(ling[0], (0, pad), constant_values=-1),
+                      jnp.pad(ling[1], ((0, pad), (0, 0)), constant_values=-1),
+                      ling[2], ling[3])
         idx_local, scores_local = pallas_topk_preselect(
             tw_k, feats_shard, k=k_local, mm_precision=mm_precision, sort=False,
-            partition=part)
+            partition=part, linguistic=ling_k, ling_weights=ling_weights)
         if pad:
             idx_local = idx_local[:rows]
             scores_local = scores_local[:rows]
     else:
         idx_local, scores_local = topk_preselect(
             tw_flat, feats_shard, k=k_local, chunk=chunk,
-            partition=(tgt_part, part_shard))
+            partition=(tgt_part, part_shard), linguistic=ling,
+            ling_weights=ling_weights)
     shard_id = jax.lax.axis_index(db_axis)
     idx_global = idx_local + shard_id * m_local
+
+    if halfphone:
+        # exact acoustic distances of the local winners (local-id gather)
+        cand_feats = feats_shard[idx_local]                       # (B*T, k, D)
+        diff = cand_feats - tw_flat[:, None, :]
+        ac_local = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
 
     # gather (k per shard) over the db axis -> (B*T, ndb * k)
     all_scores = jax.lax.all_gather(scores_local, db_axis, axis=1, tiled=True)
     all_idx = jax.lax.all_gather(idx_global, db_axis, axis=1, tiled=True)
+    if halfphone:
+        all_ac = jax.lax.all_gather(ac_local, db_axis, axis=1, tiled=True)
     if all_scores.shape[1] > n_cand:
         neg, pos = jax.lax.top_k(-all_scores, n_cand)
         cand_idx = jnp.take_along_axis(all_idx, pos, axis=1)      # (B*T, n_cand)
         best_sq = -neg
+        if halfphone:
+            target_costs = jnp.take_along_axis(all_ac, pos, axis=1)
     else:
         cand_idx, best_sq = all_idx, all_scores
-    tsq = jnp.sum(tw_flat * tw_flat, axis=-1, keepdims=True)
-    target_costs = jnp.sqrt(jnp.maximum(best_sq + tsq, 0.0))
+        if halfphone:
+            target_costs = all_ac
+    if not halfphone:
+        tsq = jnp.sum(tw_flat * tw_flat, axis=-1, keepdims=True)
+        target_costs = jnp.sqrt(jnp.maximum(best_sq + tsq, 0.0))
     target_costs = jnp.where(live.reshape(-1, 1), target_costs, 0.0)
 
     n_sel = cand_idx.shape[1]
@@ -148,7 +187,7 @@ def _select_decode_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper",
-                     "use_pallas", "mm_precision"),
+                     "use_pallas", "mm_precision", "halfphone", "ling_weights"),
 )
 def batched_synth_step(
     voice: ShardedVoice,
@@ -157,6 +196,8 @@ def batched_synth_step(
     jcw: jax.Array,           # scalar
     eps: jax.Array,           # scalar
     voice_ids: jax.Array | None = None,   # (B,) voice id per utterance
+    tgt_codes: jax.Array | None = None,   # (B, T) halfphone codes (halfphone mode)
+    tgt_ctx: jax.Array | None = None,     # (B, T, 5) quinphone codes
     *,
     mesh: Mesh,
     n_cand: int,
@@ -166,6 +207,8 @@ def batched_synth_step(
     taper: int,
     use_pallas: bool = False,
     mm_precision: str = "highest",
+    halfphone: bool = False,
+    ling_weights: tuple | None = None,
 ):
     """Batched multi-utterance synthesis over the mesh.
 
@@ -174,20 +217,29 @@ def batched_synth_step(
     """
     db_axis = "db"
     multivoice = voice_ids is not None
+    B, T, _ = targets.shape
     if voice_ids is None:
-        voice_ids = jnp.zeros(targets.shape[0], jnp.int32)
+        voice_ids = jnp.zeros(B, jnp.int32)
+    if tgt_codes is None:
+        tgt_codes = jnp.zeros((B, T), jnp.int32)
+    if tgt_ctx is None:
+        tgt_ctx = jnp.zeros((B, T, 5), jnp.int32)
 
     def shard_fn(feats_shard, jl, jr, cut1, cut2, waves, mean_t, std_t,
-                 sqrt_wt, part_shard, tgt_local, len_local, vid_local, jcw_, eps_):
+                 sqrt_wt, part_shard, codes_shard, ctx_shard,
+                 tgt_local, len_local, vid_local, tcodes_local, tctx_local,
+                 jcw_, eps_):
         # tgt_local: (B_local, T, D)
         tw = (tgt_local - mean_t[None, None, :]) / std_t[None, None, :]
         tw = tw * sqrt_wt[None, None, :]
 
         unit_ids, costs = _select_decode_batch(
-            feats_shard, jl, jr, part_shard, tw, len_local, vid_local,
+            feats_shard, jl, jr, part_shard, codes_shard, ctx_shard,
+            tw, len_local, vid_local, tcodes_local, tctx_local,
             n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis,
             use_pallas=use_pallas, multivoice=multivoice,
-            mm_precision=mm_precision)
+            mm_precision=mm_precision, halfphone=halfphone,
+            ling_weights=ling_weights)
 
         def ola_one(ids, len_one):
             return overlap_add_units(
@@ -206,9 +258,13 @@ def batched_synth_step(
             P(), P(), P(),            # cut1, cut2, waves
             P(), P(), P(),            # mean_t, std_t, sqrt_wt
             P("db"),                  # part (voice ids, row-sharded)
+            P("db"),                  # halfphone codes, row-sharded
+            P("db", None),            # quinphone ctx, row-sharded
             P("data", None, None),    # targets
             P("data"),                # lengths
             P("data"),                # voice_ids
+            P("data", None),          # tgt_codes
+            P("data", None, None),    # tgt_ctx
             P(), P(),                 # jcw, eps
         ),
         out_specs=(
@@ -220,7 +276,8 @@ def batched_synth_step(
         check_vma=False,
     )(voice.feats, voice.jl, voice.jr, voice.cut1, voice.cut2, voice.waves,
       voice.mean_t, voice.std_t, voice.sqrt_wt, voice.part,
-      targets, lengths, voice_ids, jcw, eps)
+      voice.codes, voice.ctx,
+      targets, lengths, voice_ids, tgt_codes, tgt_ctx, jcw, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))

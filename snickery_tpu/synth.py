@@ -59,20 +59,22 @@ class DeviceDB(NamedTuple):
     sqrt_wt: jax.Array      # (D,)
     codes: jax.Array        # (Mp,)  halfphone codes (zeros in epoch mode)
     ctx: jax.Array          # (Mp, 5) quinphone codes
+    vids: jax.Array         # (Mp,)  voice ids (zeros for single-voice DBs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
                      "max_frag", "out_len", "taper", "use_pallas",
-                     "mm_precision", "multivoice"),
+                     "mm_precision", "multivoice", "ling_weights"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
     targets: jax.Array,      # (T, D) raw unit-rate target features
     length: jax.Array,       # scalar int32 — live steps
-    tgt_codes: jax.Array,    # (T,)
+    tgt_codes: jax.Array,    # (T,) halfphone codes (halfphone) / unused
     tgt_ctx: jax.Array,      # (T, 5)
+    tgt_vids: jax.Array,     # (T,) requested voice id per step (multivoice)
     jcw: jax.Array,          # scalar join_cost_weight
     eps: jax.Array,          # scalar search_epsilon
     *,
@@ -86,12 +88,14 @@ def synth_pipeline_step(
     use_pallas: bool = False,
     mm_precision: str = "highest",
     multivoice: bool = False,
+    ling_weights: tuple | None = None,
 ):
     """The full per-utterance synthesis program (one compiled unit).
 
-    ``multivoice`` (epoch mode): ``tgt_codes`` carry the requested voice id
-    per step and ``db.codes`` the per-unit voice id; selection is hard-
-    restricted to the matching voice via the fused partition mask."""
+    ``multivoice``: ``tgt_vids`` carry the requested voice id per step and
+    ``db.vids`` the per-unit voice id; selection is hard-restricted to the
+    matching voice via the fused partition mask (composes with the
+    halfphone linguistic penalties)."""
     T = targets.shape[0]
     tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
     tw = tnorm * db.sqrt_wt[None, :]
@@ -100,16 +104,16 @@ def synth_pipeline_step(
     tw = jnp.where(live[:, None], tw, 0.0)
 
     ling = (tgt_codes, tgt_ctx, db.codes, db.ctx) if halfphone else None
-    part = (tgt_codes, db.codes) if (multivoice and not halfphone) else None
-    if use_pallas and not halfphone:
+    part = (tgt_vids, db.vids) if multivoice else None
+    if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
             tw, db.feats, k=n_cand, mm_precision=mm_precision, sort=False,
-            partition=part)
+            partition=part, linguistic=ling, ling_weights=ling_weights)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling,
-            partition=part)
+            partition=part, ling_weights=ling_weights)
     tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
     if halfphone:
         # linguistic penalties pollute the scores; recompute exact acoustic
@@ -173,7 +177,7 @@ def _streaming_step(
     tw = tnorm * db.sqrt_wt[None, :]
     live = jnp.arange(T, dtype=jnp.int32) < length
     tw = jnp.where(live[:, None], tw, 0.0)
-    part = (tgt_codes, db.codes) if multivoice else None
+    part = (tgt_codes, db.vids) if multivoice else None
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
@@ -270,24 +274,22 @@ class Synthesiser:
 
         dev = jax.devices()[0]
         put = functools.partial(jax.device_put, device=dev)
-        # merged multi-voice epoch DBs store the voice id in unit_code and
-        # the voice-name table in unit_names (voicedb/multivoice.py)
-        self.is_multivoice = (
-            db.target_representation != "halfphone" and len(db.unit_names) > 0)
+        # merged multi-voice DBs carry voice_ids + voice_names (voicedb/multivoice.py)
+        self.is_multivoice = db.is_multivoice
         if self.is_multivoice:
             # Partition-restricted preselect contract: a voice with fewer
             # live units than n_candidates leaves (inf, unit 0) slots in the
             # candidate state, which would silently degenerate the Viterbi
             # path (ADVICE.md round 1) — reject such DBs up front.
-            counts = np.bincount(db.unit_code, minlength=len(db.unit_names))
-            short = [db.unit_names[v] for v in np.nonzero(
+            counts = np.bincount(db.voice_ids, minlength=len(db.voice_names))
+            short = [db.voice_names[v] for v in np.nonzero(
                 counts < cfg.n_candidates)[0]]
             if short:
                 raise ValueError(
                     f"multi-voice DB: voices {short} have fewer than "
                     f"n_candidates={cfg.n_candidates} units; selection for "
                     "them would be degenerate")
-        if db.target_representation == "halfphone" or self.is_multivoice:
+        if db.target_representation == "halfphone":
             codes_arr = np.pad(db.unit_code.astype(np.int32), (0, mp - m),
                                constant_values=-1)
             ctx_arr = np.pad(db.context_codes.astype(np.int32),
@@ -295,6 +297,8 @@ class Synthesiser:
         else:
             codes_arr = np.zeros(mp, np.int32)
             ctx_arr = np.zeros((mp, 5), np.int32)
+        vids_arr = np.pad(db.voice_ids.astype(np.int32), (0, mp - m),
+                          constant_values=-1)
         self.device_db = DeviceDB(
             feats=put(feats),
             jl=put(jl),
@@ -307,6 +311,7 @@ class Synthesiser:
             sqrt_wt=put(self._sqrt_wt),
             codes=put(codes_arr),
             ctx=put(ctx_arr),
+            vids=put(vids_arr),
         )
         self.d_lf0 = put(np.pad(db.unit_lf0.astype(np.float32), ((0, mp - m), (0, 0))))
         # static OLA geometry
@@ -315,6 +320,7 @@ class Synthesiser:
         self.max_frag = utils.next_multiple(self.max_span + 2 * cfg.taper_length, 128)
         self._unit_vocab = {n: i for i, n in enumerate(db.unit_names)}
         self._phone_vocab = {n: i for i, n in enumerate(db.phone_names)}
+        self._voice_vocab = {n: i for i, n in enumerate(db.voice_names)}
         self._mesh = None
         self._sharded_voice = None
 
@@ -342,10 +348,15 @@ class Synthesiser:
     def _use_pallas(self) -> bool:
         import jax as _jax
         return (self.cfg.use_pallas
-                and self.db.target_representation != "halfphone"
                 and _jax.default_backend() not in ("cpu",))
 
-    def _run_pipeline(self, tgt_pad, t_units, codes, ctx, n_cand: int, greedy: bool):
+    def _ling_weights(self) -> tuple:
+        cfg = self.cfg
+        return tuple(float(w) for w in cfg.quinphone_context_weights) + (
+            float(cfg.quinphone_penalty_scale),)
+
+    def _run_pipeline(self, tgt_pad, t_units, codes, ctx, vids,
+                      n_cand: int, greedy: bool):
         cfg = self.cfg
         use_pallas = self._use_pallas()
         if use_pallas:
@@ -356,27 +367,29 @@ class Synthesiser:
                 tgt_pad = np.pad(tgt_pad, ((0, pad), (0, 0)))
                 codes = np.pad(codes, (0, pad), constant_values=-1)
                 ctx = np.pad(ctx, ((0, pad), (0, 0)), constant_values=-1)
+                vids = np.pad(vids, (0, pad), constant_values=-1)
         t_bucket = tgt_pad.shape[0]
         out_len = utils.next_multiple(
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
         return synth_pipeline_step(
             self.device_db,
             jnp.asarray(tgt_pad), jnp.int32(t_units),
-            jnp.asarray(codes), jnp.asarray(ctx),
+            jnp.asarray(codes), jnp.asarray(ctx), jnp.asarray(vids),
             jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
             n_cand=n_cand, chunk=self.chunk, greedy=greedy,
             halfphone=self.db.target_representation == "halfphone",
             max_frag=self.max_frag, out_len=out_len, taper=cfg.taper_length,
             use_pallas=use_pallas, mm_precision=cfg.preselect_precision,
             multivoice=self.is_multivoice,
+            ling_weights=self._ling_weights(),
         )
 
     # ----------------------------------------------------------------- public
     def _voice_code(self, voice) -> int:
         if isinstance(voice, str):
-            if voice not in self._unit_vocab:
-                raise KeyError(f"unknown voice {voice!r}; have {self.db.unit_names}")
-            return self._unit_vocab[voice]
+            if voice not in self._voice_vocab:
+                raise KeyError(f"unknown voice {voice!r}; have {self.db.voice_names}")
+            return self._voice_vocab[voice]
         return int(voice)
 
     def synth_from_features(
@@ -402,7 +415,8 @@ class Synthesiser:
         if self.is_multivoice and voice is None:
             raise ValueError(
                 "this is a multi-voice DB: pass voice=<name or id> "
-                f"(available: {self.db.unit_names})")
+                f"(available: {self.db.voice_names})")
+        vid = self._voice_code(voice) if self.is_multivoice else 0
 
         if halfphone:
             if target_segments is None:
@@ -416,20 +430,22 @@ class Synthesiser:
                  for s in target_segments], np.int32)
         else:
             tgt_units, t_units = self.targets_from_features(features)
-            vid = self._voice_code(voice) if self.is_multivoice else 0
-            codes = np.full(t_units, vid, np.int32)
+            codes = np.zeros(t_units, np.int32)
             ctx = np.zeros((t_units, 5), np.int32)
+        vids = np.full(t_units, vid, np.int32)
 
         t_bucket = utils.bucket_length(t_units, tuple(cfg.length_buckets))
         pad = t_bucket - t_units
         tgt_pad = np.pad(tgt_units, ((0, pad), (0, 0)))
         codes = np.pad(codes, (0, pad), constant_values=-1)
         ctx = np.pad(ctx, ((0, pad), (0, 0)), constant_values=-1)
+        vids = np.pad(vids, (0, pad), constant_values=-1)
 
         n_cand = min(cfg.n_candidates, self.n_units_padded)
         with self.timer.stage("synth_step"):
             unit_ids, total_cost, audio, total_samples = jax.device_get(
-                self._run_pipeline(tgt_pad, t_units, codes, ctx, n_cand, greedy))
+                self._run_pipeline(tgt_pad, t_units, codes, ctx, vids,
+                                   n_cand, greedy))
         return {
             "wave": np.asarray(audio[: int(total_samples)]),
             "unit_ids": np.asarray(unit_ids[:t_units]),
@@ -438,35 +454,54 @@ class Synthesiser:
         }
 
     def synth_batch(self, feature_list: list[np.ndarray], greedy: bool = False,
-                    voices: list | None = None) -> list[dict]:
-        """Batched multi-utterance synthesis (epoch mode) in one device step.
+                    voices: list | None = None,
+                    segments_list: list | None = None) -> list[dict]:
+        """Batched multi-utterance synthesis in one device step.
 
         Pads all utterances to a shared T bucket and runs the sharded batch
         step over a (mesh_data x mesh_db) mesh from the config (1x1 by
         default — the same compiled program scales to multi-chip meshes; see
         snickery_tpu.parallel).  ``voices``: per-utterance voice name/id for
-        multi-voice DBs.  Returns one result dict per utterance, identical
-        in content to ``synth_from_features``.
+        multi-voice DBs.  ``segments_list`` (halfphone mode): one list of
+        HalfphoneSegment per utterance; ``feature_list`` entries must then
+        already be unit-rate (from ``halfphone_targets_from_features``).
+        Returns one result dict per utterance, identical in content to
+        ``synth_from_features``.
         """
         from snickery_tpu.parallel import batched_synth_step, make_mesh, shard_voice
 
         cfg = self.cfg
-        if self.db.target_representation == "halfphone":
-            raise NotImplementedError("synth_batch currently supports epoch mode")
+        halfphone = self.db.target_representation == "halfphone"
         if greedy:
             raise NotImplementedError("synth_batch uses Viterbi decoding")
         if self.is_multivoice and voices is None:
             raise ValueError(
                 "multi-voice DB: pass voices=[...] (one per utterance)")
-        prepped = [self.targets_from_features(f) for f in feature_list]
+        if halfphone:
+            if segments_list is None:
+                raise ValueError("halfphone mode needs segments_list")
+            prepped = [(np.asarray(f, np.float32), len(f)) for f in feature_list]
+        else:
+            prepped = [self.targets_from_features(f) for f in feature_list]
         t_max = max(n for _, n in prepped)
         t_bucket = utils.bucket_length(t_max, tuple(cfg.length_buckets))
         B = len(prepped)
         tgts = np.zeros((B, t_bucket, self.db.target_dim), np.float32)
         lengths = np.zeros(B, np.int32)
+        tgt_codes = np.full((B, t_bucket), -1, np.int32)
+        tgt_ctx = np.full((B, t_bucket, 5), -1, np.int32)
         for b, (tu, n) in enumerate(prepped):
             tgts[b, :n] = tu
             lengths[b] = n
+            if halfphone:
+                segs = segments_list[b]
+                tgt_codes[b, :n] = [self._unit_vocab.get(s.name, -1)
+                                    for s in segs]
+                tgt_ctx[b, :n] = [[self._phone_vocab.get(p, 0)
+                                   for p in s.quinphone] for s in segs]
+            else:
+                tgt_codes[b, :n] = 0
+                tgt_ctx[b, :n] = 0
 
         if self._mesh is None:
             n_mesh = max(1, cfg.mesh_data) * max(1, cfg.mesh_db)
@@ -478,7 +513,9 @@ class Synthesiser:
             self._sharded_voice = shard_voice(
                 self._mesh, ddb.feats, ddb.jl, ddb.jr, ddb.cut1, ddb.cut2,
                 ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
-                part=ddb.codes if self.is_multivoice else None)
+                part=ddb.vids if self.is_multivoice else None,
+                codes=ddb.codes if halfphone else None,
+                ctx=ddb.ctx if halfphone else None)
         out_len = utils.next_multiple(
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
         voice_ids = None
@@ -490,12 +527,16 @@ class Synthesiser:
                 self._sharded_voice, jnp.asarray(tgts), jnp.asarray(lengths),
                 jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
                 voice_ids,
+                jnp.asarray(tgt_codes) if halfphone else None,
+                jnp.asarray(tgt_ctx) if halfphone else None,
                 mesh=self._mesh,
                 n_cand=min(cfg.n_candidates, self.n_units_padded),
                 chunk=self.chunk, max_frag=self.max_frag,
                 out_len=out_len, taper=cfg.taper_length,
                 use_pallas=self._use_pallas(),
-                mm_precision=cfg.preselect_precision))
+                mm_precision=cfg.preselect_precision,
+                halfphone=halfphone,
+                ling_weights=self._ling_weights()))
         results = []
         for b in range(B):
             n = int(lengths[b])
@@ -531,7 +572,7 @@ class Synthesiser:
         if self.is_multivoice and voice is None:
             raise ValueError(
                 "this is a multi-voice DB: pass voice=<name or id> "
-                f"(available: {self.db.unit_names})")
+                f"(available: {self.db.voice_names})")
         vid = self._voice_code(voice) if self.is_multivoice else 0
         k = self.frames_per_unit
         d = cfg.target_dim

@@ -35,6 +35,7 @@ _ARRAY_FIELDS = (
     "unit_pos",           # (M,)  int32: position of unit within its utterance
     "unit_code",          # (M,)  int32: halfphone name code (0 in epoch mode)
     "context_codes",      # (M, 5) int32: quinphone codes (zeros in epoch mode)
+    "voice_ids",          # (M,)  int32: voice id per unit (all 0 single-voice)
     "unit_lf0",           # (M, k) float32: per-constituent-epoch lf0 (for target-f0 imposition)
     "mean_target",        # (d_target,)
     "std_target",         # (d_target,)
@@ -56,7 +57,8 @@ class VoiceDB:
     filenames: list[str]                  # per-utterance basenames
     unit_names: list[str] = field(default_factory=list)   # code -> halfphone name
     phone_names: list[str] = field(default_factory=list)  # code -> phone (context vocab)
-    version: int = 1
+    voice_names: list[str] = field(default_factory=list)  # voice id -> name (multi-voice)
+    version: int = 2
 
     # arrays (see _ARRAY_FIELDS)
     unit_features: np.ndarray = None
@@ -67,6 +69,7 @@ class VoiceDB:
     unit_pos: np.ndarray = None
     unit_code: np.ndarray = None
     context_codes: np.ndarray = None
+    voice_ids: np.ndarray = None
     unit_lf0: np.ndarray = None
     mean_target: np.ndarray = None
     std_target: np.ndarray = None
@@ -74,6 +77,15 @@ class VoiceDB:
     std_join: np.ndarray = None
     waves: np.ndarray = None
     wave_offsets: np.ndarray = None
+
+    def __post_init__(self) -> None:
+        # single-voice DBs (and version-1 artifacts) have no voice_ids array
+        if self.voice_ids is None and self.unit_features is not None:
+            self.voice_ids = np.zeros(self.n_units, np.int32)
+
+    @property
+    def is_multivoice(self) -> bool:
+        return len(self.voice_names) > 0
 
     # -- basic properties --
     @property
@@ -110,6 +122,7 @@ class VoiceDB:
             "filenames": self.filenames,
             "unit_names": self.unit_names,
             "phone_names": self.phone_names,
+            "voice_names": self.voice_names,
             "version": self.version,
             "n_units": self.n_units,
         }

@@ -54,9 +54,13 @@ def test_epoch_synth_resynthesises_training_utterance(epoch_voice):
 
 
 def test_epoch_agreement_vs_oracle(epoch_voice):
+    """TRULY held-out target: the DB is built from utts seeded 100..103;
+    the target trajectory comes from a freshly generated utterance (seed
+    900) whose natural units are NOT in the DB, so agreement cannot ride
+    the zero-cost natural path (VERDICT.md round 1, weak #3)."""
+    from tests.toyvoice import prepare_toy_utts
     cfg, db, utts, synth = epoch_voice
-    # held-out-ish: use a different utterance's features as target
-    utt = utts[-1]
+    utt = prepare_toy_utts(1, seed0=900)[0]
     result = synth.synth_from_features(utt.features)
     ids_tpu = result["unit_ids"]
 
@@ -113,6 +117,26 @@ def test_halfphone_synth(halfphone_voice):
     match = (want == got).mean()
     assert match > 0.95, f"halfphone identity match {match}"
     assert len(result["wave"]) > 1000
+
+
+def test_halfphone_synth_batch_matches_single(halfphone_voice):
+    """Batched halfphone synthesis (sharded path with fused quinphone
+    penalties) selects the same units as the single-utterance pipeline."""
+    cfg, db, utts, synth = halfphone_voice
+    feats_list, segs_list = [], []
+    for utt in utts[:3]:
+        tgt, kept = synth.halfphone_targets_from_features(
+            utt.features, utt.epochs, utt.halfphones)
+        feats_list.append(tgt)
+        segs_list.append(kept)
+    batch = synth.synth_batch(feats_list, segments_list=segs_list)
+    assert len(batch) == 3
+    for f, s, res in zip(feats_list, segs_list, batch):
+        single = synth.synth_from_features(f, target_segments=s)
+        agree = (res["unit_ids"] == single["unit_ids"]).mean()
+        assert agree >= 0.99, f"halfphone batch-vs-single agreement {agree}"
+        assert res["n_units"] == single["n_units"]
+        assert len(res["wave"]) > 500
 
 
 def test_multiepoch_voice():

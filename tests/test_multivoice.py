@@ -25,9 +25,10 @@ def two_voices():
 def test_merge_counts(two_voices):
     cfg, merged, (utts_a, utts_b), (db_a, db_b) = two_voices
     assert merged.n_units == db_a.n_units + db_b.n_units
-    assert merged.unit_names == ["alice", "bob"]
-    assert (merged.unit_code[: db_a.n_units] == 0).all()
-    assert (merged.unit_code[db_a.n_units:] == 1).all()
+    assert merged.voice_names == ["alice", "bob"]
+    assert merged.is_multivoice
+    assert (merged.voice_ids[: db_a.n_units] == 0).all()
+    assert (merged.voice_ids[db_a.n_units:] == 1).all()
     assert len(merged.waves) == len(db_a.waves) + len(db_b.waves)
 
 
@@ -48,7 +49,7 @@ def test_multivoice_batch_respects_partition(two_voices):
     jr = np.pad(jr.astype(np.float32), ((0, pad), (0, 0)))
     cut1 = np.pad(merged.cutpoints[:, 1].astype(np.int32), (0, pad))
     cut2 = np.pad(merged.cutpoints[:, 2].astype(np.int32), (0, pad))
-    part = np.pad(merged.unit_code.astype(np.int32), (0, pad), constant_values=-1)
+    part = np.pad(merged.voice_ids.astype(np.int32), (0, pad), constant_values=-1)
 
     sv = shard_voice(mesh, feats, jl, jr, cut1, cut2,
                      merged.waves.astype(np.float32),
@@ -75,7 +76,7 @@ def test_multivoice_batch_respects_partition(two_voices):
     unit_ids = np.asarray(unit_ids)
     for b in range(B):
         n = lengths[b]
-        got_voice = merged.unit_code[unit_ids[b, :n]]
+        got_voice = merged.voice_ids[unit_ids[b, :n]]
         assert (got_voice == vids[b]).all(), f"utt {b} leaked across voices"
     assert np.isfinite(np.asarray(costs)).all()
     assert (np.asarray(totals) > 1000).all()
@@ -94,7 +95,7 @@ def test_synthesiser_multivoice_api(two_voices):
     for voice, utt in [("alice", utts_a[0]), ("bob", utts_b[0]), (1, utts_b[1])]:
         r = synth.synth_from_features(utt.features, voice=voice)
         vid = synth._voice_code(voice)
-        got = merged.unit_code[r["unit_ids"]]
+        got = merged.voice_ids[r["unit_ids"]]
         assert (got == vid).all(), f"voice {voice} leaked"
 
     with pytest.raises(KeyError):
@@ -105,8 +106,50 @@ def test_synthesiser_multivoice_api(two_voices):
         synth.synth_batch([utts_a[0].features])
     results = synth.synth_batch(
         [utts_a[0].features, utts_b[0].features], voices=["alice", "bob"])
-    assert (merged.unit_code[results[0]["unit_ids"]] == 0).all()
-    assert (merged.unit_code[results[1]["unit_ids"]] == 1).all()
+    assert (merged.voice_ids[results[0]["unit_ids"]] == 0).all()
+    assert (merged.voice_ids[results[1]["unit_ids"]] == 1).all()
+
+
+def test_halfphone_multivoice_merge_and_synth():
+    """Halfphone DBs merge with unified vocabularies; selection respects
+    BOTH the voice partition and the halfphone identity."""
+    cfg_a, db_a, utts_a = build_toy_voice(halfphone=True, n_utts=2)
+    cfg_b, db_b, utts_b = build_toy_voice(halfphone=True, n_utts=2)
+    merged = merge_voicedbs([db_a, db_b], names=["alice", "bob"])
+    assert merged.target_representation == "halfphone"
+    assert merged.voice_names == ["alice", "bob"]
+    # vocab remap correctness: unit names survive the merge per unit
+    for i in range(db_a.n_units):
+        assert merged.unit_names[merged.unit_code[i]] == \
+            db_a.unit_names[db_a.unit_code[i]]
+    off = db_a.n_units
+    for i in range(db_b.n_units):
+        assert merged.unit_names[merged.unit_code[off + i]] == \
+            db_b.unit_names[db_b.unit_code[i]]
+
+    import dataclasses
+    cfg = dataclasses.replace(cfg_a, n_candidates=6)
+    synth = Synthesiser(cfg, db=merged)
+    assert synth.is_multivoice
+    utt = utts_b[0]
+    tgt, kept = synth.halfphone_targets_from_features(
+        utt.features, utt.epochs, utt.halfphones)
+    with pytest.raises(ValueError):
+        synth.synth_from_features(tgt, target_segments=kept)
+    r = synth.synth_from_features(tgt, target_segments=kept, voice="bob")
+    ids = r["unit_ids"]
+    assert (merged.voice_ids[ids] == 1).all(), "halfphone merge leaked voices"
+    want = np.asarray([synth._unit_vocab[s.name] for s in kept])
+    got = merged.unit_code[ids]
+    assert (want == got).mean() > 0.9, "halfphone identity lost in merge"
+
+    # batched mixed-voice halfphone synthesis
+    tgt_a, kept_a = synth.halfphone_targets_from_features(
+        utts_a[0].features, utts_a[0].epochs, utts_a[0].halfphones)
+    res = synth.synth_batch([tgt_a, tgt], segments_list=[kept_a, kept],
+                            voices=["alice", "bob"])
+    assert (merged.voice_ids[res[0]["unit_ids"]] == 0).all()
+    assert (merged.voice_ids[res[1]["unit_ids"]] == 1).all()
 
 
 def test_streaming_multivoice_requires_and_respects_voice(two_voices):
@@ -125,4 +168,4 @@ def test_streaming_multivoice_requires_and_respects_voice(two_voices):
     assert sum(len(a) for a in audio) > 1000
     ids = np.concatenate(synth.last_stream_unit_ids)
     assert len(ids) > 10
-    assert (merged.unit_code[ids] == 1).all(), "streaming leaked across voices"
+    assert (merged.voice_ids[ids] == 1).all(), "streaming leaked across voices"

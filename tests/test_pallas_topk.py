@@ -97,6 +97,60 @@ def test_pipelined_kernel_exact():
     _assert_topk_matches(idx, vals, targets, ref_idx, ref_sq)
 
 
+def test_pallas_linguistic_matches_xla():
+    """Fused quinphone penalties in the kernel produce the SAME scores and
+    selections as the XLA fallback path (identical penalty maths)."""
+    from snickery_tpu.ops.topk import topk_preselect
+    rng = np.random.default_rng(51)
+    T, M, d, k = T_TILE, CHUNK, 24, 12
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    n_names, n_phones = 20, 9
+    tgt_codes = rng.integers(0, n_names, T).astype(np.int32)
+    tgt_ctx = rng.integers(0, n_phones, (T, 5)).astype(np.int32)
+    db_codes = rng.integers(0, n_names, M).astype(np.int32)
+    db_ctx = rng.integers(0, n_phones, (M, 5)).astype(np.int32)
+    ling = (jnp.asarray(tgt_codes), jnp.asarray(tgt_ctx),
+            jnp.asarray(db_codes), jnp.asarray(db_ctx))
+    idx_p, val_p = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        linguistic=ling)
+    idx_x, val_x = topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, chunk=CHUNK,
+        linguistic=ling)
+    # same candidate selections (exact same f32 penalty arithmetic)
+    assert (np.asarray(idx_p) == np.asarray(idx_x)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(val_p), np.asarray(val_x),
+                               rtol=1e-5, atol=1e-4)
+    # every same-code candidate really has the target's halfphone identity
+    # where one exists in the DB
+    sel_codes = db_codes[np.asarray(idx_p)]
+    has_same = np.isin(tgt_codes, db_codes)
+    assert (sel_codes[has_same, 0] == tgt_codes[has_same]).mean() > 0.99
+
+
+def test_pallas_linguistic_plus_partition():
+    """Halfphone + multi-voice: both masks fuse in one kernel call."""
+    rng = np.random.default_rng(61)
+    T, M, d, k = T_TILE, CHUNK, 16, 6
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    tgt_codes = rng.integers(0, 5, T).astype(np.int32)
+    tgt_ctx = rng.integers(0, 4, (T, 5)).astype(np.int32)
+    db_codes = rng.integers(0, 5, M).astype(np.int32)
+    db_ctx = rng.integers(0, 4, (M, 5)).astype(np.int32)
+    tgt_part = rng.integers(0, 2, T).astype(np.int32)
+    db_part = rng.integers(0, 2, M).astype(np.int32)
+    idx, vals = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        partition=(jnp.asarray(tgt_part), jnp.asarray(db_part)),
+        linguistic=(jnp.asarray(tgt_codes), jnp.asarray(tgt_ctx),
+                    jnp.asarray(db_codes), jnp.asarray(db_ctx)))
+    idx = np.asarray(idx)
+    # partition is hard (inf): no cross-voice selection, ever
+    assert (db_part[idx] == tgt_part[:, None]).all()
+
+
 def test_pallas_partition_restricts_selection():
     """Partition (multi-voice) masks inside the kernel: selected units always
     match the target's id and agree with the partition-masked oracle."""
