@@ -72,12 +72,24 @@ def _target_features_for(cfg: SnickeryConfig, base: str):
             mats.append(get_speech(p, cfg.datadims[stream]))
         n = min(len(m) for m in mats)
         feats = np.concatenate([m[:n] for m in mats], axis=1)
-        lf0 = None
+        lf0_col = None
         for (name, a, b) in cfg.stream_slices:
             if name == "lf0":
-                lf0 = feats[:, a]
-        segments = None
+                lf0_col = a
         epochs = None
+        if cfg.test_data_frameshift > 0:
+            # hybrid fixed-rate DNN outputs: integrate the predicted lf0
+            # into an epoch grid and resample every stream onto it
+            from snickery_tpu.features.world import fixed_to_epoch_targets
+            if lf0_col is None:
+                raise ValueError(
+                    "test_data_frameshift > 0 needs an lf0 stream to "
+                    "integrate the epoch grid from")
+            feats, epochs = fixed_to_epoch_targets(
+                feats, lf0_col, cfg.sample_rate,
+                frameshift=cfg.test_data_frameshift)
+        lf0 = feats[:, lf0_col] if lf0_col is not None else None
+        segments = None
     else:
         from snickery_tpu.train import prepare_utterance
         utt = prepare_utterance(cfg, base)

@@ -26,6 +26,10 @@ class SnickeryConfig:
     lab_datadir: str = ""           # HTS label files (halfphone mode)
     feat_datadir: str = ""          # root dir holding one subdir per stream
     test_data_dir: str = ""         # natural-target test features
+    test_data_frameshift: float = 0.0   # >0: test_data_dir streams are
+                                        # fixed-rate at this frame shift (s);
+                                        # they are resampled to an epoch grid
+                                        # integrated from their lf0 stream
     test_patterns: list[str] = field(default_factory=list)
     n_train_utts: int = 0           # 0 = all
 

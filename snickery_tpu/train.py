@@ -38,16 +38,32 @@ def _load_streams(cfg: SnickeryConfig, base: str, n_epochs: int) -> np.ndarray |
 
 
 def _native_features(cfg: SnickeryConfig, wave: np.ndarray, epochs: np.ndarray) -> np.ndarray:
-    """Compute the configured streams natively (magphase/lf0/mfcc)."""
-    from snickery_tpu.features.magphase import magphase_analysis
+    """Compute the configured streams natively.
 
-    need_mp = any(s in ("mag", "real", "imag") for s in cfg.stream_list)
+    Supported stream families (all epoch-synchronous, all batched XLA):
+    magphase (mag/real/imag), WORLD-style (mgc/bap, with mfcc as an alias
+    of mgc), lf0.  This replaces the reference's external MagPhase/WORLD
+    tools (SURVEY.md §2.9).
+    """
+    from snickery_tpu.features.magphase import magphase_analysis
+    from snickery_tpu.features.world import world_analysis
+
     streams: dict[str, np.ndarray] = {}
-    if need_mp or "lf0" in cfg.stream_list:
+    if any(s in ("mag", "real", "imag") for s in cfg.stream_list):
         n_mag = cfg.datadims.get("mag", 60)
         n_phase = cfg.datadims.get("real", cfg.datadims.get("imag", 45))
-        streams = magphase_analysis(wave, epochs, cfg.sample_rate,
-                                    n_mag=n_mag, n_phase=n_phase)
+        streams.update(magphase_analysis(wave, epochs, cfg.sample_rate,
+                                         n_mag=n_mag, n_phase=n_phase))
+    if any(s in ("mgc", "bap", "mfcc") for s in cfg.stream_list):
+        n_mgc = cfg.datadims.get("mgc", cfg.datadims.get("mfcc", 60))
+        n_bap = cfg.datadims.get("bap", 5)
+        w = world_analysis(wave, epochs, cfg.sample_rate,
+                           n_mgc=n_mgc, n_bap=n_bap)
+        w["mfcc"] = w["mgc"]
+        streams.update({k: v for k, v in w.items() if k not in streams})
+    if "lf0" in cfg.stream_list and "lf0" not in streams:
+        from snickery_tpu.features.epochs import f0_from_epochs
+        streams["lf0"] = f0_from_epochs(epochs, cfg.sample_rate)
     mats = []
     for s in cfg.stream_list:
         if s not in streams:

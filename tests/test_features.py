@@ -45,6 +45,57 @@ def test_magphase_empty():
     assert out.shape == (0,)
 
 
+def test_world_streams(toy_wave):
+    """Native WORLD-family analysis: shapes + bap separates harmonic frames
+    from noise (periodic -> deep inter-harmonic valleys -> bap << 0)."""
+    from snickery_tpu.features.world import world_analysis
+    wave, sr = toy_wave
+    marks = detect_epochs(wave, sr, use_native=False)
+    w = world_analysis(wave, marks, sr, n_mgc=24, n_bap=5)
+    E = len(marks)
+    assert w["mgc"].shape == (E, 24)
+    assert w["bap"].shape == (E, 5)
+    assert w["lf0"].shape == (E, 1)
+    assert np.isfinite(w["mgc"]).all() and np.isfinite(w["bap"]).all()
+    bap_tone = np.median(w["bap"][5:-5, 0])
+
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal(len(wave)).astype(np.float32) * 0.3
+    marks_n = np.arange(200, len(noise) - 200, 130, dtype=np.int32)
+    wn = world_analysis(noise, marks_n, sr, n_mgc=24, n_bap=5)
+    bap_noise = np.median(wn["bap"][5:-5, 0])
+    assert bap_tone < bap_noise - 1.0, (
+        f"bap should be much lower for periodic signals: "
+        f"tone {bap_tone:.2f} vs noise {bap_noise:.2f}")
+
+
+def test_resample_fixed_epoch_roundtrip(toy_wave):
+    """epoch-rate -> fixed-rate -> epoch-rate is close to identity for
+    smooth trajectories (linear interpolation both ways)."""
+    from snickery_tpu.features.world import resample_to_epochs, resample_to_fixed
+    wave, sr = toy_wave
+    marks = detect_epochs(wave, sr, use_native=False).astype(np.int64)
+    E = len(marks)
+    t = np.linspace(0, 4 * np.pi, E)
+    feats = np.stack([np.sin(t), np.cos(0.5 * t), t / 10], axis=1).astype(np.float32)
+    fx = resample_to_fixed(feats, marks, sr, frameshift=0.005)
+    assert len(fx) > 50
+    back = resample_to_epochs(fx, marks, sr, frameshift=0.005)
+    # interior epochs (edges extrapolate by clamping)
+    np.testing.assert_allclose(back[2:-2], feats[2:-2], atol=0.02)
+
+
+def test_epoch_grid_from_lf0():
+    """Integrating a constant 100 Hz lf0 gives epochs 160 samples apart."""
+    from snickery_tpu.features.world import epoch_grid_from_lf0
+    sr, shift = 16000, 0.005
+    lf0 = np.full(200, np.log(100.0), np.float32)   # 1 s of 100 Hz
+    epochs = epoch_grid_from_lf0(lf0, sr, shift)
+    gaps = np.diff(epochs)
+    assert np.abs(gaps - 160).max() <= 1
+    assert abs(len(epochs) - 100) <= 2
+
+
 def test_mfcc_shapes(toy_wave):
     wave, sr = toy_wave
     m = np.asarray(mfcc(wave, sr))
