@@ -1,142 +1,571 @@
 #!/usr/bin/env python
-"""Benchmark: batched unit-selection synthesis throughput on real hardware.
+"""Benchmark: unit-selection synthesis on real TPU hardware, through the
+REAL pipeline (corpus -> native epoch detection -> batched magphase
+analysis -> trainer/cutter -> VoiceDB -> Synthesiser).
 
-Scenario = BASELINE.json config #3: ~1M-epoch-unit voice, batched
-multi-utterance synthesis.  The pipeline measured is the full flagship step
-(normalise -> brute-force fused top-k preselect over the whole DB -> Viterbi
-lattice decode with fused join costs -> crossfade OLA), steady-state
-(post-compile), on synthetic data sized like a production voice.
+Covers the BASELINE.json evaluation configs:
+  #3 (headline) ~1M-epoch-unit voice, batched multi-utterance synthesis
+  #2 halfphone voice (ARCTIC-scale ~50k units) + join-cost Viterbi
+  #4 streaming synthesis latency (p50/p95 per chunk)
+  #5 multi-voice merged DB, batch-64 concurrent synthesis
+plus two fidelity gates run at full scale:
+  - float64-oracle unit-sequence agreement on held-out target rows
+  - Pallas compiled-vs-interpret regression check
 
-Prints ONE JSON line:
-    {"metric": "synthesis_rtf", "value": <wallclock_sec / audio_sec>,
-     "unit": "wall_sec_per_audio_sec", "vs_baseline": <value / 0.003>}
+Prints ONE JSON line (headline = config #3 RTF):
+    {"metric": "synthesis_rtf", "value": <wall/audio>, "unit": ...,
+     "vs_baseline": <value / 0.003>, "extra": {per-config numbers}}
 
-The reference publishes no speed numbers (BASELINE.md); the baseline used
-for vs_baseline is the driver-defined north star RTF <= 0.003 (1 h of 16 kHz
-audio in < 10 s on one v5e chip).  vs_baseline < 1.0 beats the target.
+The reference publishes no speed numbers (BASELINE.md); vs_baseline is
+against the driver-defined north star RTF <= 0.003.  < 1.0 beats it.
+
+Voices are built once and cached under ~/.cache/snickery_bench (the corpus
+is synthetic-but-speech-like: harmonic stacks with per-phone spectral
+envelopes and moving f0 — variable pitch periods, so unit spans and OLA
+geometry are realistic; VERDICT round 1, weak #1).
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--units", type=int, default=1 << 20, help="DB size (rows)")
-    ap.add_argument("--dim", type=int, default=151, help="unit feature dim")
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--t", type=int, default=2048, help="lattice steps per utterance")
-    ap.add_argument("--n-candidates", type=int, default=30)
-    ap.add_argument("--chunk", type=int, default=16384)
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--quick", action="store_true", help="small shapes (smoke test)")
-    ap.add_argument("--no-pallas", action="store_true",
-                    help="use the XLA preselect instead of the Pallas kernel")
-    ap.add_argument("--precision", default="split3",
-                    choices=["highest", "split3"],
-                    help="distance-matmul precision (split3 = bf16_3x, ~f32 "
-                         "accuracy, 25%% faster; unit agreement stays >99%%)")
-    ap.add_argument("--sample-rate", type=int, default=16000)
-    args = ap.parse_args(argv)
+SR = 16000
+STREAMS = ["mag", "real", "imag", "lf0"]
+DATADIMS = {"mag": 60, "real": 45, "imag": 45, "lf0": 1}
+D = 151
+JCW = 0.7
 
-    if args.quick:
-        args.units, args.t, args.batch, args.iters, args.chunk = 1 << 14, 256, 2, 2, 4096
 
-    from snickery_tpu import utils
-    utils.enable_compilation_cache()
+def log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
-    import jax
+
+def cache_dir() -> str:
+    d = os.environ.get(
+        "SNICKERY_BENCH_CACHE",
+        os.path.join(os.path.expanduser("~/.cache"), "snickery_bench"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# --------------------------------------------------------------- corpus gen
+def gen_utterance(seed: int, n_segments: int):
+    from toyvoice import synth_utterance
+    return synth_utterance(seed, n_segments=n_segments)
+
+
+def bulk_analyse(waves: list, epochs_list: list, group_epochs: int = 120_000):
+    """Batched magphase analysis over many utterances in few device calls:
+    concatenate waves (with silence gaps so windows never bleed across
+    utterances), offset the epoch grids, analyse once per group."""
+    from snickery_tpu.features.epochs import f0_from_epochs
+    from snickery_tpu.features.magphase import magphase_analysis
+
+    out = [None] * len(waves)
+    gap = 2048
+    i = 0
+    while i < len(waves):
+        j, total_e = i, 0
+        while j < len(waves) and total_e + len(epochs_list[j]) <= group_epochs:
+            total_e += len(epochs_list[j])
+            j += 1
+        j = max(j, i + 1)
+        segs, eps, off = [], [], 0
+        for k in range(i, j):
+            segs.append(np.asarray(waves[k], np.float32))
+            segs.append(np.zeros(gap, np.float32))
+            eps.append(np.asarray(epochs_list[k], np.int64) + off)
+            off += len(waves[k]) + gap
+        big_wave = np.concatenate(segs)
+        big_eps = np.concatenate(eps)
+        streams = magphase_analysis(big_wave, big_eps, SR,
+                                    n_mag=DATADIMS["mag"],
+                                    n_phase=DATADIMS["real"])
+        feats = np.concatenate(
+            [streams["mag"], streams["real"], streams["imag"], streams["lf0"]],
+            axis=1).astype(np.float32)
+        pos = 0
+        for k in range(i, j):
+            E = len(epochs_list[k])
+            f = feats[pos: pos + E].copy()
+            # per-utterance lf0 (the grouped grid has wrong boundary gaps)
+            f[:, -1:] = f0_from_epochs(epochs_list[k], SR)
+            out[k] = f
+            pos += E
+        i = j
+    return out
+
+
+def make_corpus(n_utts: int, n_segments: int, seed0: int, halfphone: bool):
+    """Generate + epoch-mark + analyse a corpus -> list[UtteranceData]."""
+    from snickery_tpu.features.epochs import detect_epochs, f0_from_epochs
+    from snickery_tpu.voicedb.build import UtteranceData
+
+    t0 = time.time()
+    waves, segss = [], []
+    for i in range(n_utts):
+        w, segs = gen_utterance(seed0 + i, n_segments)
+        waves.append(w)
+        segss.append(segs)
+    log(f"corpus: generated {n_utts} utts "
+        f"({sum(len(w) for w in waves)/SR/60:.1f} min) in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    epochs_list = [detect_epochs(w, SR) for w in waves]
+    log(f"corpus: epochs detected in {time.time()-t0:.0f}s (native)")
+    t0 = time.time()
+    feats_list = bulk_analyse(waves, epochs_list)
+    log(f"corpus: features analysed in {time.time()-t0:.0f}s (bulk batched)")
+    utts = []
+    for i in range(n_utts):
+        utts.append(UtteranceData(
+            basename=f"b{i:05d}", wave=waves[i],
+            epochs=np.asarray(epochs_list[i], np.int32),
+            features=feats_list[i],
+            lf0=f0_from_epochs(epochs_list[i], SR).reshape(-1),
+            halfphones=segss[i] if halfphone else None))
+    return utts
+
+
+def bench_config(**over):
+    from snickery_tpu.config import SnickeryConfig
+    base = dict(
+        workdir=cache_dir(), stream_list=list(STREAMS), datadims=dict(DATADIMS),
+        sample_rate=SR, n_candidates=30, taper_length=50,
+        length_buckets=[2048], join_cost_weight=JCW,
+        preselect_precision="split3", voice_name="bench")
+    base.update(over)
+    return SnickeryConfig(**base)
+
+
+def get_voice(name: str, builder, cfg, rebuild: bool):
+    """Build-or-load a cached VoiceDB."""
+    from snickery_tpu.voicedb.db import VoiceDB
+    path = os.path.join(cache_dir(), f"{name}.voicedb")
+    if os.path.isdir(path) and not rebuild:
+        db = VoiceDB.load(path)
+        log(f"{name}: loaded cached voice ({db.n_units} units)")
+        return db
+    t0 = time.time()
+    db = builder()
+    db.save(path)
+    log(f"{name}: built + cached in {time.time()-t0:.0f}s ({db.n_units} units)")
+    return db
+
+
+def held_out_features(n_utts: int, n_segments: int, seed0: int = 90_000):
+    """Held-out target trajectories (NOT in any bench voice: disjoint seeds)."""
+    from snickery_tpu.features.epochs import detect_epochs
+    waves = []
+    for i in range(n_utts):
+        w, _ = gen_utterance(seed0 + i, n_segments)
+        waves.append(w)
+    eps = [detect_epochs(w, SR) for w in waves]
+    return bulk_analyse(waves, eps), waves, eps
+
+
+def sync(out):
+    """block_until_ready is a no-op on the axon async runtime; a host fetch
+    of a small output is the only reliable completion barrier."""
+    np.asarray(out[1])
+    np.asarray(out[3])
+    return out
+
+
+# ------------------------------------------------------------ config #3 (headline)
+def run_epoch_mode(args, extra: dict):
     import jax.numpy as jnp
-    from snickery_tpu.parallel import batched_synth_step, make_mesh, shard_voice
-    from __graft_entry__ import _synthetic_voice
+    from snickery_tpu import utils
+    from snickery_tpu.parallel import batched_synth_step
+    from snickery_tpu.synth import Synthesiser
+    from snickery_tpu.voicedb.build import build_voicedb
 
-    dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
+    cfg = bench_config(voice_name="bench1m")
+    # ~1M units: 640 epoch units per 6 s utterance
+    n_utts = args.units // 600 if not args.quick else 24
+    n_seg = 40
 
-    taper = 50
-    span = 160                      # samples per selected unit (~10 ms @ 16 kHz)
-    m = utils.next_multiple(args.units, args.chunk)
+    db = get_voice(
+        "bench1m" if not args.quick else "benchq",
+        lambda: build_voicedb(cfg, make_corpus(n_utts, n_seg, 10_000, False)),
+        cfg, args.rebuild)
     t0 = time.time()
-    feats, jl, jr, cut1, cut2, waves, mean_t, std_t, sqrt_wt = _synthetic_voice(
-        m, args.dim, args.n_candidates)
-    print(f"# synthetic voice built: {m} units, {time.time()-t0:.1f}s", file=sys.stderr)
+    synth = Synthesiser(cfg, db=db)
+    log(f"device DB prepared in {time.time()-t0:.0f}s "
+        f"({synth.n_units_padded} padded units, max_span {synth.max_span})")
 
-    mesh = make_mesh(1, 1, devices=[dev])
-    sv = shard_voice(mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t, sqrt_wt)
+    # held-out targets: ~1900 units per utterance at T bucket 2048
+    tgt_feats, _, _ = held_out_features(args.batch, 128 if not args.quick else 16)
+    if args.quick:
+        synth.cfg.length_buckets = [256]
 
-    rng = np.random.default_rng(7)
-    targets = jnp.asarray(
-        rng.standard_normal((args.batch, args.t, args.dim)).astype(np.float32))
-    lengths = jnp.asarray(np.full(args.batch, args.t, np.int32))
-    out_len = args.t * span + 2 * taper
-    out_len += (-out_len) % 128
-
-    def step():
-        return batched_synth_step(
-            sv, targets, lengths, jnp.float32(0.7), jnp.float32(0.0),
-            mesh=mesh, n_cand=args.n_candidates, chunk=args.chunk,
-            max_frag=512, out_len=out_len, taper=taper,
-            use_pallas=not args.no_pallas, mm_precision=args.precision)
-
-    def sync(out):
-        # block_until_ready is a no-op on the axon async runtime; a host
-        # fetch of a small output is the only reliable completion barrier.
-        np.asarray(out[1])          # (B,) total costs
-        np.asarray(out[3])          # (B,) total samples
-        return out
-
+    # first call through the public API (compile + upload + audio out)
     t0 = time.time()
-    out = sync(step())
+    results = synth.synth_batch(tgt_feats)
     compile_s = time.time() - t0
-    print(f"# first step (incl. compile): {compile_s:.1f}s", file=sys.stderr)
+    log(f"first batched step (incl. compile): {compile_s:.0f}s")
+    audio_sec_first = sum(len(r["wave"]) for r in results) / SR
+    log(f"synthesised {audio_sec_first:.0f} audio-sec across {len(results)} utts")
 
-    # throughput timing: enqueue all steps, sync once — the device executes
-    # the queue serially, so (total / iters) is true per-step throughput
-    # without paying the host-fetch round-trip (~100+ ms on the axon relay)
-    # per step.  A single-step latency number is also reported.
+    # rebuild the padded inputs for direct stepping (throughput timing)
+    prepped = [synth.targets_from_features(f) for f in tgt_feats]
+    B = len(prepped)
+    t_bucket = utils.bucket_length(max(n for _, n in prepped),
+                                   tuple(synth.cfg.length_buckets))
+    tgts = np.zeros((B, t_bucket, db.target_dim), np.float32)
+    lengths = np.zeros(B, np.int32)
+    for b, (tu, n) in enumerate(prepped):
+        tgts[b, :n] = tu
+        lengths[b] = n
+    out_len = utils.next_multiple(
+        t_bucket * synth.max_span + 2 * cfg.taper_length, 128)
+
+    def step(mm_precision=cfg.preselect_precision, lengths_=None):
+        return batched_synth_step(
+            synth._sharded_voice, jnp.asarray(tgts),
+            jnp.asarray(lengths if lengths_ is None else lengths_),
+            jnp.float32(JCW), jnp.float32(0.0),
+            mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
+            chunk=synth.chunk, max_frag=synth.max_frag,
+            out_len=out_len, taper=cfg.taper_length,
+            use_pallas=synth._use_pallas(),
+            mm_precision=mm_precision)
+
+    out = sync(step())
     t0 = time.time()
     out = sync(step())
     latency = time.time() - t0
-
     t0 = time.time()
     outs = [step() for _ in range(args.iters)]
     out = outs[-1]
     sync(out)
     wall = (time.time() - t0) / args.iters
 
-    total_samples = np.asarray(out[3])
-    audio_sec = float(total_samples.sum()) / args.sample_rate
+    audio_sec = float(np.asarray(out[3]).sum()) / SR
     rtf = wall / audio_sec
-    units_per_sec = args.batch * args.t / wall
-
-    if args.precision != "highest" and not args.quick:
-        # fidelity check: unit-sequence agreement of the fast-precision path
-        # against exact-f32 selection on the same batch (the >=99% criterion)
-        ref = batched_synth_step(
-            sv, targets, lengths, jnp.float32(0.7), jnp.float32(0.0),
-            mesh=mesh, n_cand=args.n_candidates, chunk=args.chunk,
-            max_frag=512, out_len=out_len, taper=taper,
-            use_pallas=not args.no_pallas, mm_precision="highest")
-        agree = float((np.asarray(out[0]) == np.asarray(ref[0])).mean())
-        print(f"# unit-sequence agreement ({args.precision} vs exact f32): "
-              f"{agree:.5f}", file=sys.stderr)
-    print(
-        f"# steady-state: {wall*1e3:.1f} ms/step (throughput), "
+    units_per_sec = float(lengths.sum()) / wall
+    log(f"config3 steady-state: {wall*1e3:.1f} ms/step, "
         f"{latency*1e3:.1f} ms single-step latency, "
-        f"{audio_sec:.1f} audio-sec/step, {units_per_sec:,.0f} lattice-steps/s",
-        file=sys.stderr,
-    )
+        f"{audio_sec:.1f} audio-sec/step, {units_per_sec:,.0f} lattice-steps/s")
+    extra["config3"] = {"rtf": rtf, "ms_per_step": wall * 1e3,
+                        "units_per_sec": units_per_sec,
+                        "audio_sec_per_step": audio_sec}
+
+    if cfg.preselect_precision != "highest":
+        ref = sync(step(mm_precision="highest"))
+        mask = (np.arange(t_bucket)[None, :] < lengths[:, None])
+        agree = float((np.asarray(out[0]) == np.asarray(ref[0]))[mask].mean())
+        log(f"config3 unit-sequence agreement (split3 vs exact f32): {agree:.5f}")
+        extra["config3"]["agreement_split3_vs_f32"] = agree
+
+    # ---- at-scale float64-oracle agreement on held-out rows (VERDICT #1) ----
+    if not args.skip_oracle:
+        from snickery_tpu import oracle
+        n_rows = args.oracle_rows
+        lengths_o = lengths.copy()
+        lengths_o[0] = n_rows
+        out_o = sync(step(lengths_=lengths_o))
+        ids_tpu = np.asarray(out_o[0])[0, :n_rows]
+        t0 = time.time()
+        feats_w = db.normalised_features().astype(np.float32) * synth._sqrt_wt[None, :]
+        jl, jr = db.normalised_joins()
+        jl = (jl * synth._sqrt_wj[None, :]).astype(np.float32)
+        jr = (jr * synth._sqrt_wj[None, :]).astype(np.float32)
+        tw = ((tgts[0, :n_rows] - db.mean_target) / db.std_target
+              ) * synth._sqrt_wt[None, :]
+        ids_ref, _ = oracle.synth_pipeline(
+            tw.astype(np.float32), feats_w, jl, jr,
+            n_candidates=cfg.n_candidates, join_cost_weight=JCW)
+        agree_o = float((ids_tpu == ids_ref).mean())
+        log(f"config3 agreement vs float64 oracle "
+            f"({n_rows} held-out rows @ {db.n_units} units): {agree_o:.5f} "
+            f"(oracle ran {time.time()-t0:.0f}s on host)")
+        extra["config3"]["agreement_vs_f64_oracle"] = agree_o
+
+    return rtf, synth
+
+
+# ------------------------------------------------------------ config #2 halfphone
+def run_halfphone_mode(args, extra: dict):
+    import jax.numpy as jnp
+    from snickery_tpu import utils
+    from snickery_tpu.parallel import batched_synth_step
+    from snickery_tpu.synth import Synthesiser
+    from snickery_tpu.voicedb.build import build_voicedb
+
+    cfg = bench_config(voice_name="benchhp", target_representation="halfphone",
+                       length_buckets=[128], n_candidates=20)
+    n_utts = args.hp_units // 80 if not args.quick else 16   # ~80 hp units/utt
+
+    db = get_voice(
+        "benchhp" if not args.quick else "benchhpq",
+        lambda: build_voicedb(cfg, make_corpus(n_utts, n_seg := 40, 30_000, True)),
+        cfg, args.rebuild)
+    synth = Synthesiser(cfg, db=db)
+
+    # held-out labelled targets
+    from snickery_tpu.features.epochs import detect_epochs
+    feats_list, segs_list = [], []
+    for i in range(4):
+        w, segs = gen_utterance(91_000 + i, 40)
+        eps = detect_epochs(w, SR)
+        f = bulk_analyse([w], [eps])[0]
+        tgt, kept = synth.halfphone_targets_from_features(f, eps, segs)
+        feats_list.append(tgt)
+        segs_list.append(kept)
+
+    t0 = time.time()
+    results = synth.synth_batch(feats_list, segments_list=segs_list)
+    log(f"config2 first batched halfphone step (incl. compile): {time.time()-t0:.0f}s")
+
+    # identity check: selected units carry the requested halfphone names
+    match = np.mean([
+        (db.unit_code[r["unit_ids"]] ==
+         [synth._unit_vocab.get(s.name, -2) for s in segs]).mean()
+        for r, segs in zip(results, segs_list)])
+    audio_sec = sum(len(r["wave"]) for r in results) / SR
+
+    # steady-state timing through the same compiled step
+    B = len(feats_list)
+    t_bucket = utils.bucket_length(max(len(f) for f in feats_list),
+                                   tuple(cfg.length_buckets))
+    tgts = np.zeros((B, t_bucket, db.target_dim), np.float32)
+    lengths = np.zeros(B, np.int32)
+    tcodes = np.full((B, t_bucket), -1, np.int32)
+    tctx = np.full((B, t_bucket, 5), -1, np.int32)
+    for b, (f, segs) in enumerate(zip(feats_list, segs_list)):
+        n = len(f)
+        tgts[b, :n] = f
+        lengths[b] = n
+        tcodes[b, :n] = [synth._unit_vocab.get(s.name, -1) for s in segs]
+        tctx[b, :n] = [[synth._phone_vocab.get(p, 0) for p in s.quinphone]
+                       for s in segs]
+    out_len = utils.next_multiple(
+        t_bucket * synth.max_span + 2 * cfg.taper_length, 128)
+
+    def step():
+        return batched_synth_step(
+            synth._sharded_voice, jnp.asarray(tgts), jnp.asarray(lengths),
+            jnp.float32(JCW), jnp.float32(0.0), None,
+            jnp.asarray(tcodes), jnp.asarray(tctx),
+            mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
+            chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,
+            taper=cfg.taper_length, use_pallas=synth._use_pallas(),
+            mm_precision=cfg.preselect_precision, halfphone=True,
+            ling_weights=synth._ling_weights())
+
+    sync(step())
+    t0 = time.time()
+    outs = [step() for _ in range(args.iters)]
+    sync(outs[-1])
+    wall = (time.time() - t0) / args.iters
+    audio_sec_step = float(np.asarray(outs[-1][3]).sum()) / SR
+    rtf = wall / audio_sec_step
+    log(f"config2 halfphone ({db.n_units} units): {wall*1e3:.1f} ms/step, "
+        f"{audio_sec_step:.1f} audio-sec/step, rtf {rtf:.5f}, "
+        f"identity match {match:.3f}")
+    extra["config2"] = {"rtf": rtf, "ms_per_step": wall * 1e3,
+                        "n_units": db.n_units,
+                        "halfphone_identity_match": float(match)}
+
+
+# ------------------------------------------------------------ config #4 streaming
+def run_streaming_mode(args, extra: dict, synth):
+    """Streaming latency on the 1M-unit voice: per-chunk wall time."""
+    import dataclasses as dc
+    cfg = synth.cfg
+    old_buckets = cfg.length_buckets
+    cfg.length_buckets = [64]        # small chunks -> small compiled step
+    try:
+        feats, _, _ = held_out_features(1, 96, seed0=92_000)
+        f = feats[0][1:-1]
+        chunk_rows = args.stream_chunk
+        chunks = [f[i:i + chunk_rows] for i in range(0, len(f), chunk_rows)]
+        # warmup (compile) on the first chunk shape
+        warm = list(synth.synth_streaming(iter(chunks[:2])))
+        times, audio_samples = [], 0
+        t_all = time.time()
+        gen = synth.synth_streaming(iter(chunks))
+        while True:
+            t0 = time.time()
+            try:
+                piece = next(gen)
+            except StopIteration:
+                break
+            times.append(time.time() - t0)
+            audio_samples += len(piece)
+        wall_total = time.time() - t_all
+        per = np.asarray(times[1:-1]) * 1e3        # steady-state chunks
+        p50, p95 = float(np.percentile(per, 50)), float(np.percentile(per, 95))
+        rtf_stream = wall_total / (audio_samples / SR)
+        log(f"config4 streaming ({len(chunks)} chunks of {chunk_rows} units, "
+            f"~{audio_samples/len(times)/SR*1e3:.0f} ms audio/chunk): "
+            f"latency p50 {p50:.1f} ms, p95 {p95:.1f} ms, rtf {rtf_stream:.5f}")
+        extra["config4"] = {"chunk_latency_p50_ms": p50,
+                            "chunk_latency_p95_ms": p95,
+                            "rtf": rtf_stream,
+                            "chunk_units": chunk_rows}
+    finally:
+        cfg.length_buckets = old_buckets
+
+
+# ------------------------------------------------------------ config #5 multivoice
+def run_multivoice_mode(args, extra: dict):
+    import jax.numpy as jnp
+    from snickery_tpu import utils
+    from snickery_tpu.parallel import batched_synth_step
+    from snickery_tpu.synth import Synthesiser
+    from snickery_tpu.voicedb.build import build_voicedb
+    from snickery_tpu.voicedb.db import VoiceDB
+    from snickery_tpu.voicedb.multivoice import merge_voicedbs
+
+    n_voices = 8 if not args.quick else 2
+    cfg = bench_config(voice_name="benchmv", length_buckets=[256])
+
+    def build():
+        per_voice = (args.mv_units // n_voices) // 600
+        if args.quick:
+            per_voice = 8
+        dbs = []
+        for v in range(n_voices):
+            utts = make_corpus(per_voice, 40, 50_000 + v * 1000, False)
+            dbs.append(build_voicedb(cfg, utts))
+        return merge_voicedbs(dbs, names=[f"v{v}" for v in range(n_voices)])
+
+    db = get_voice("benchmv" if not args.quick else "benchmvq",
+                   build, cfg, args.rebuild)
+    synth = Synthesiser(cfg, db=db)
+
+    B = args.mv_batch if not args.quick else 8
+    feats, _, _ = held_out_features(4, 15, seed0=93_000)
+    feats_list = [feats[i % len(feats)] for i in range(B)]
+    voices = [f"v{i % n_voices}" for i in range(B)]
+    t0 = time.time()
+    results = synth.synth_batch(feats_list, voices=voices)
+    log(f"config5 first batch-{B} step (incl. compile): {time.time()-t0:.0f}s")
+    # partition correctness at scale
+    leaks = sum(int((db.voice_ids[r["unit_ids"]] != i % n_voices).sum())
+                for i, r in enumerate(results))
+
+    prepped = [synth.targets_from_features(f) for f in feats_list]
+    t_bucket = utils.bucket_length(max(n for _, n in prepped),
+                                   tuple(cfg.length_buckets))
+    tgts = np.zeros((B, t_bucket, db.target_dim), np.float32)
+    lengths = np.zeros(B, np.int32)
+    for b, (tu, n) in enumerate(prepped):
+        tgts[b, :n] = tu
+        lengths[b] = n
+    vids = jnp.asarray(np.asarray(
+        [synth._voice_code(v) for v in voices], np.int32))
+    out_len = utils.next_multiple(
+        t_bucket * synth.max_span + 2 * cfg.taper_length, 128)
+
+    def step():
+        return batched_synth_step(
+            synth._sharded_voice, jnp.asarray(tgts), jnp.asarray(lengths),
+            jnp.float32(JCW), jnp.float32(0.0), vids,
+            mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
+            chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,
+            taper=cfg.taper_length, use_pallas=synth._use_pallas(),
+            mm_precision=cfg.preselect_precision)
+
+    sync(step())
+    t0 = time.time()
+    outs = [step() for _ in range(args.iters)]
+    sync(outs[-1])
+    wall = (time.time() - t0) / args.iters
+    audio_sec = float(np.asarray(outs[-1][3]).sum()) / SR
+    rtf = wall / audio_sec
+    log(f"config5 multi-voice ({n_voices} voices, {db.n_units} units, "
+        f"batch {B}): {wall*1e3:.1f} ms/step, {audio_sec:.1f} audio-sec/step, "
+        f"rtf {rtf:.5f}, cross-voice leaks {leaks}")
+    extra["config5"] = {"rtf": rtf, "ms_per_step": wall * 1e3,
+                        "batch": B, "n_voices": n_voices,
+                        "cross_voice_leaks": leaks}
+
+
+# ----------------------------------------------- pallas compiled-vs-interpret
+def run_pallas_check(args, extra: dict):
+    import jax.numpy as jnp
+    from snickery_tpu.ops.pallas_topk import CHUNK, T_TILE, pallas_topk_preselect
+
+    rng = np.random.default_rng(17)
+    T, M, d, k = T_TILE, 2 * CHUNK, D, 16
+    targets = jnp.asarray(rng.standard_normal((T, d)).astype(np.float32))
+    db = jnp.asarray(rng.standard_normal((M, d)).astype(np.float32))
+    ic, vc = pallas_topk_preselect(targets, db, k=k)
+    ii, vi = pallas_topk_preselect(targets, db, k=k, interpret=True)
+    idx_ok = (np.asarray(ic) == np.asarray(ii)).mean()
+    val_ok = np.allclose(np.asarray(vc), np.asarray(vi), rtol=1e-5, atol=1e-4)
+    ok = idx_ok > 0.999 and val_ok
+    log(f"pallas compiled-vs-interpret: {'OK' if ok else 'MISMATCH'} "
+        f"(idx agreement {idx_ok:.5f})")
+    extra["pallas_compiled_vs_interpret"] = bool(ok)
+
+
+# ----------------------------------------------------------------------- main
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="epoch,pallas,streaming,halfphone,multivoice",
+                    help="comma list: epoch,halfphone,streaming,multivoice,pallas")
+    ap.add_argument("--units", type=int, default=1_048_576)
+    ap.add_argument("--hp-units", type=int, default=50_000)
+    ap.add_argument("--mv-units", type=int, default=262_144)
+    ap.add_argument("--mv-batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--stream-chunk", type=int, default=32,
+                    help="epoch units per streaming chunk")
+    ap.add_argument("--oracle-rows", type=int, default=160)
+    ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--rebuild", action="store_true",
+                    help="rebuild cached bench voices")
+    ap.add_argument("--quick", action="store_true", help="small smoke shapes")
+    args = ap.parse_args(argv)
+
+    from snickery_tpu import utils
+    utils.enable_compilation_cache()
+    import jax
+    log(f"device: {jax.devices()[0]}")
+
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    extra: dict = {}
+    rtf = float("nan")
+
+    if "epoch" in modes:
+        rtf, synth = run_epoch_mode(args, extra)
+    else:
+        synth = None
+    for name, fn in (("pallas", run_pallas_check),
+                     ("halfphone", run_halfphone_mode),
+                     ("multivoice", run_multivoice_mode)):
+        if name in modes:
+            try:
+                fn(args, extra)
+            except Exception as e:  # pragma: no cover
+                log(f"{name} mode FAILED: {type(e).__name__}: {e}")
+                extra[name + "_error"] = f"{type(e).__name__}: {e}"
+    if "streaming" in modes and synth is not None:
+        try:
+            run_streaming_mode(args, extra, synth)
+        except Exception as e:  # pragma: no cover
+            log(f"streaming mode FAILED: {type(e).__name__}: {e}")
+            extra["streaming_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": "synthesis_rtf",
         "value": rtf,
         "unit": "wall_sec_per_audio_sec",
         "vs_baseline": rtf / 0.003,
+        "extra": extra,
     }))
     return 0
 

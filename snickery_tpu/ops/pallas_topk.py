@@ -81,7 +81,9 @@ def _split3_dot(db, tgt):
 
 
 def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
-                 has_ling: bool, ling_weights: tuple, *refs):
+                 has_ling: bool, ling_weights: tuple,
+                 t_tile: int, chunk: int, block: int, *refs):
+    nb = chunk // block
     refs = list(refs)
     tgt_ref, db_ref, sqn_ref = refs[:3]
     refs = refs[3:]
@@ -97,8 +99,8 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 
     @pl.when(j == 0)
     def _():
-        state_vals[:] = jnp.full((k, T_TILE), jnp.inf, jnp.float32)
-        state_cols[:] = jnp.zeros((k, T_TILE), jnp.int32)
+        state_vals[:] = jnp.full((k, t_tile), jnp.inf, jnp.float32)
+        state_cols[:] = jnp.zeros((k, t_tile), jnp.int32)
 
     tgt = tgt_ref[:]                                   # (T_TILE, d)
     db = db_ref[:]                                     # (CHUNK, d)
@@ -132,11 +134,11 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
             mism = (dl[:, c + 1:c + 2] != tl[c + 1:c + 2, :])
             s = s + jnp.float32(w * scale) * mism.astype(jnp.float32)
 
-    folded = s.reshape(NB, BLOCK, T_TILE)              # free leading-dim split
-    iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (NB, T_TILE), 0)
-    iota3_blk = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK, T_TILE), 1)
-    iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, T_TILE), 0)
-    base_col = j * CHUNK
+    folded = s.reshape(nb, block, t_tile)              # free leading-dim split
+    iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
+    iota3_blk = jax.lax.broadcasted_iota(jnp.int32, (nb, block, t_tile), 1)
+    iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, t_tile), 0)
+    base_col = j * chunk
 
     def phase_cond(carry):
         fold, res_v, res_c, phase, done = carry
@@ -147,7 +149,7 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
     def phase_body(carry):
         fold, res_v, res_c, phase, _ = carry
         bm = jnp.min(fold, axis=1)                                 # (NB, T)
-        bai = jnp.min(jnp.where(fold == bm[:, None, :], iota3_blk, BLOCK),
+        bai = jnp.min(jnp.where(fold == bm[:, None, :], iota3_blk, block),
                       axis=1).astype(jnp.int32)                    # (NB, T)
 
         # The state is kept UNSORTED (sorted once by the caller): insertion
@@ -164,10 +166,10 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 
         def pick_body(st):
             it, wbm, sel_nb, sv, sc = st
-            m, b = _first_argmin_cols(wbm, iota0_nb, NB)           # (T,), (T,)
+            m, b = _first_argmin_cols(wbm, iota0_nb, nb)           # (T,), (T,)
             onehot = iota0_nb == b[None, :]                        # (NB, T)
             mi = jnp.sum(jnp.where(onehot, bai, 0), axis=0)        # (T,)
-            col = b * BLOCK + mi + base_col
+            col = b * block + mi + base_col
             # replace each row's worst state slot if the pick improves it
             worst = jnp.max(sv, axis=0)
             wslot = jnp.min(jnp.where(sv == worst[None, :], iota_k0, k),
@@ -181,7 +183,7 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 
         _, _, sel_nb, res_v, res_c = jax.lax.while_loop(
             pick_cond, pick_body,
-            (jnp.int32(0), bm, jnp.zeros((NB, T_TILE), jnp.int32),
+            (jnp.int32(0), bm, jnp.zeros((nb, t_tile), jnp.int32),
              res_v, res_c))
 
         # mask extracted elements: each picked block loses its current argmin
@@ -207,7 +209,8 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "interpret", "mm_precision", "sort",
-                                    "ling_weights"))
+                                    "ling_weights", "t_tile", "chunk",
+                                    "block"))
 def pallas_topk_preselect(
     targets: jax.Array,       # (T, d) — T % T_TILE == 0
     db: jax.Array,            # (M, d) — M % CHUNK == 0
@@ -222,6 +225,9 @@ def pallas_topk_preselect(
                                      # fused quinphone penalties (halfphone)
     ling_weights: tuple | None = None,  # static (w0..w4, scale); defaults to
                                         # const.QUINPHONE_* when linguistic set
+    t_tile: int | None = None,       # target rows per grid step (default T_TILE)
+    chunk: int | None = None,        # DB rows per grid step (default CHUNK)
+    block: int | None = None,        # sub-block fold width (default BLOCK)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -238,28 +244,32 @@ def pallas_topk_preselect(
     every remaining element; the iteration bound guarantees enough phases to
     extract k elements even in the degenerate all-in-one-block case.
     """
+    t_tile = T_TILE if t_tile is None else t_tile
+    chunk = CHUNK if chunk is None else chunk
+    block = BLOCK if block is None else block
+    assert chunk % block == 0
     T, d = targets.shape
     M = db.shape[0]
-    assert T % T_TILE == 0, f"T={T} must be a multiple of {T_TILE}"
-    assert M % CHUNK == 0, f"M={M} must be a multiple of {CHUNK}"
-    n_chunks = M // CHUNK
-    sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, CHUNK, 1)
+    assert T % t_tile == 0, f"T={T} must be a multiple of {t_tile}"
+    assert M % chunk == 0, f"M={M} must be a multiple of {chunk}"
+    n_chunks = M // chunk
+    sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk, 1)
     has_part = partition is not None
     has_ling = linguistic is not None
 
     in_specs = [
-        pl.BlockSpec((T_TILE, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((CHUNK, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, CHUNK, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [targets, db, sqn]
     if has_part:
         tgt_part, db_part = partition
-        operands.append(tgt_part.astype(jnp.int32).reshape(T // T_TILE, 1, T_TILE))
-        operands.append(db_part.astype(jnp.int32).reshape(n_chunks, CHUNK, 1))
-        in_specs.append(pl.BlockSpec((1, 1, T_TILE), lambda i, j: (i, 0, 0),
+        operands.append(tgt_part.astype(jnp.int32).reshape(T // t_tile, 1, t_tile))
+        operands.append(db_part.astype(jnp.int32).reshape(n_chunks, chunk, 1))
+        in_specs.append(pl.BlockSpec((1, 1, t_tile), lambda i, j: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, CHUNK, 1), lambda i, j: (j, 0, 0),
+        in_specs.append(pl.BlockSpec((1, chunk, 1), lambda i, j: (j, 0, 0),
                                      memory_space=pltpu.VMEM))
     if has_ling:
         if ling_weights is None:
@@ -270,36 +280,37 @@ def pallas_topk_preselect(
         tl = jnp.concatenate(
             [tgt_codes.astype(jnp.int32)[:, None], tgt_ctx.astype(jnp.int32),
              jnp.zeros((T, 2), jnp.int32)], axis=1)            # (T, 8)
-        tl = tl.reshape(T // T_TILE, T_TILE, 8).transpose(0, 2, 1)  # (Tt, 8, T_TILE)
+        tl = tl.reshape(T // t_tile, t_tile, 8).transpose(0, 2, 1)  # (Tt, 8, t_tile)
         dl = jnp.concatenate(
             [db_codes.astype(jnp.int32)[:, None], db_ctx.astype(jnp.int32),
-             jnp.zeros((M, 2), jnp.int32)], axis=1).reshape(n_chunks, CHUNK, 8)
+             jnp.zeros((M, 2), jnp.int32)], axis=1).reshape(n_chunks, chunk, 8)
         operands.extend([tl, dl])
-        in_specs.append(pl.BlockSpec((1, 8, T_TILE), lambda i, j: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 8, t_tile), lambda i, j: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, CHUNK, 8), lambda i, j: (j, 0, 0),
+        in_specs.append(pl.BlockSpec((1, chunk, 8), lambda i, j: (j, 0, 0),
                                      memory_space=pltpu.VMEM))
     else:
         ling_weights = ()
 
     kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
-                               has_part, has_ling, ling_weights)
-    grid = (T // T_TILE, n_chunks)
+                               has_part, has_ling, ling_weights,
+                               t_tile, chunk, block)
+    grid = (T // t_tile, n_chunks)
     vals, cols = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((k, T_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, T_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, t_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, t_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((k, T), jnp.float32),
             jax.ShapeDtypeStruct((k, T), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((k, T_TILE), jnp.float32),
-            pltpu.VMEM((k, T_TILE), jnp.int32),
+            pltpu.VMEM((k, t_tile), jnp.float32),
+            pltpu.VMEM((k, t_tile), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
