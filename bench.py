@@ -206,6 +206,10 @@ def run_epoch_mode(args, extra: dict):
     tgt_feats, _, _ = held_out_features(args.batch, 128 if not args.quick else 16)
     if args.quick:
         synth.cfg.length_buckets = [256]
+    # clamp every utterance inside the single T bucket (a one-unit overflow
+    # would silently double the bucket and waste half the preselect rows)
+    t_cap = synth.cfg.length_buckets[0] + 2
+    tgt_feats = [f[:t_cap] for f in tgt_feats]
 
     # first call through the public API (compile + upload + audio out)
     t0 = time.time()
@@ -227,11 +231,13 @@ def run_epoch_mode(args, extra: dict):
         lengths[b] = n
     out_len = utils.next_multiple(
         t_bucket * synth.max_span + 2 * cfg.taper_length, 128)
+    tgts_dev = jnp.asarray(tgts)          # upload ONCE (25 MB over the
+    lengths_dev = jnp.asarray(lengths)    # axon tunnel costs ~1 s per step)
 
     def step(mm_precision=cfg.preselect_precision, lengths_=None):
         return batched_synth_step(
-            synth._sharded_voice, jnp.asarray(tgts),
-            jnp.asarray(lengths if lengths_ is None else lengths_),
+            synth._sharded_voice, tgts_dev,
+            lengths_dev if lengths_ is None else jnp.asarray(lengths_),
             jnp.float32(JCW), jnp.float32(0.0),
             mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
             chunk=synth.chunk, max_frag=synth.max_frag,
@@ -350,12 +356,14 @@ def run_halfphone_mode(args, extra: dict):
                        for s in segs]
     out_len = utils.next_multiple(
         t_bucket * synth.max_span + 2 * cfg.taper_length, 128)
+    tgts_dev, lengths_dev = jnp.asarray(tgts), jnp.asarray(lengths)
+    tcodes_dev, tctx_dev = jnp.asarray(tcodes), jnp.asarray(tctx)
 
     def step():
         return batched_synth_step(
-            synth._sharded_voice, jnp.asarray(tgts), jnp.asarray(lengths),
+            synth._sharded_voice, tgts_dev, lengths_dev,
             jnp.float32(JCW), jnp.float32(0.0), None,
-            jnp.asarray(tcodes), jnp.asarray(tctx),
+            tcodes_dev, tctx_dev,
             mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
             chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,
             taper=cfg.taper_length, use_pallas=synth._use_pallas(),
@@ -446,6 +454,7 @@ def run_multivoice_mode(args, extra: dict):
 
     B = args.mv_batch if not args.quick else 8
     feats, _, _ = held_out_features(4, 15, seed0=93_000)
+    feats = [f[: cfg.length_buckets[0] + 2] for f in feats]
     feats_list = [feats[i % len(feats)] for i in range(B)]
     voices = [f"v{i % n_voices}" for i in range(B)]
     t0 = time.time()
@@ -467,10 +476,11 @@ def run_multivoice_mode(args, extra: dict):
         [synth._voice_code(v) for v in voices], np.int32))
     out_len = utils.next_multiple(
         t_bucket * synth.max_span + 2 * cfg.taper_length, 128)
+    tgts_dev, lengths_dev = jnp.asarray(tgts), jnp.asarray(lengths)
 
     def step():
         return batched_synth_step(
-            synth._sharded_voice, jnp.asarray(tgts), jnp.asarray(lengths),
+            synth._sharded_voice, tgts_dev, lengths_dev,
             jnp.float32(JCW), jnp.float32(0.0), vids,
             mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
             chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,

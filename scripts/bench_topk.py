@@ -21,6 +21,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+def cluster_order(feats: np.ndarray, n_clusters: int = 1024,
+                  sample: int = 100_000, iters: int = 8,
+                  seed: int = 0) -> np.ndarray:
+    """Row permutation grouping acoustically-similar units into contiguous
+    runs (minibatch k-means fit on a sample, blocked full assignment).
+    Locality concentrates any query's top-k into few DB chunks, which
+    collapses the kernel's data-dependent pick loops for most chunks."""
+    rng = np.random.default_rng(seed)
+    m = len(feats)
+    idx = rng.choice(m, size=min(sample, m), replace=False)
+    x = feats[idx].astype(np.float32)
+    c = x[rng.choice(len(x), size=n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        d = (c * c).sum(1)[None, :] - 2.0 * x @ c.T          # (s, k)
+        a = d.argmin(1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=n_clusters)[:, None]
+        nz = counts[:, 0] > 0
+        c[nz] = sums[nz] / counts[nz]
+    # blocked full assignment
+    assign = np.empty(m, np.int32)
+    csq = (c * c).sum(1)[None, :]
+    for lo in range(0, m, 65536):
+        hi = min(lo + 65536, m)
+        d = csq - 2.0 * feats[lo:hi] @ c.T
+        assign[lo:hi] = d.argmin(1)
+    return np.argsort(assign, kind="stable")
+
+
 DEFAULT_COMBOS = [
     (256, 2048, 16),     # round-1 default
     (512, 2048, 16),
@@ -42,6 +72,12 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--precision", default="split3")
     ap.add_argument("--combos", default="")
+    ap.add_argument("--real", action="store_true",
+                    help="use the cached bench1m voice (real clustered data "
+                         "+ coherent held-out targets) instead of gaussians")
+    ap.add_argument("--cluster", action="store_true",
+                    help="with --real: reorder DB rows by k-means cluster "
+                         "(locality lever for the pick loop)")
     args = ap.parse_args(argv)
 
     from snickery_tpu import utils
@@ -56,11 +92,40 @@ def main(argv=None) -> int:
                   for c in args.combos.split()]
 
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
-    rng = np.random.default_rng(0)
-    targets = jnp.asarray(
-        rng.standard_normal((args.rows, args.dim)).astype(np.float32))
-    db = jnp.asarray(
-        rng.standard_normal((args.units, args.dim)).astype(np.float32))
+    if args.real:
+        import bench as benchmod
+        from snickery_tpu.voicedb.db import VoiceDB
+        db_v = VoiceDB.load(os.path.join(benchmod.cache_dir(), "bench1m.voicedb"))
+        feats = db_v.normalised_features().astype(np.float32)
+        mp = ((feats.shape[0] + 8191) // 8192) * 8192
+        feats = np.pad(feats, ((0, mp - feats.shape[0]), (0, 0)),
+                       constant_values=1e6)
+        if args.cluster:
+            t0 = time.time()
+            order = cluster_order(feats[:db_v.n_units])
+            feats[:db_v.n_units] = feats[:db_v.n_units][order]
+            print(f"# clustered DB order in {time.time()-t0:.0f}s", file=sys.stderr)
+        tf, _, _ = benchmod.held_out_features(8, 128)
+        rows = []
+        for f in tf:
+            usable = f[1:-1]
+            rows.append(((usable - db_v.mean_target) / db_v.std_target))
+        tw = np.concatenate(rows)[: args.rows].astype(np.float32)
+        pad = (-len(tw)) % 1024
+        tw = np.pad(tw, ((0, pad), (0, 0)))
+        targets = jnp.asarray(tw)
+        db = jnp.asarray(feats)
+        args.rows = targets.shape[0]
+        args.units = db.shape[0]
+        args.dim = db.shape[1]
+        print(f"# real data: {args.units} units, {args.rows} target rows",
+              file=sys.stderr)
+    else:
+        rng = np.random.default_rng(0)
+        targets = jnp.asarray(
+            rng.standard_normal((args.rows, args.dim)).astype(np.float32))
+        db = jnp.asarray(
+            rng.standard_normal((args.units, args.dim)).astype(np.float32))
 
     results = []
     for (t_tile, chunk, block) in combos:

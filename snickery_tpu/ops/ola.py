@@ -21,6 +21,15 @@ audio *exactly* in the overlap (both fragments sample identical audio and
 the ramps sum to 1) — natural speech passes through the concatenator
 untouched, which is also the property the perfect-reconstruction test
 asserts (SURVEY.md §4).
+
+Implementation note (TPU): XLA lowers ELEMENT-wise gathers/scatters at only
+~30M indices/s on this hardware, so the naive formulation (6M+ element
+indices at production shapes) costs hundreds of ms.  Everything here is
+therefore expressed at 128-sample ROW granularity — row gathers from the
+corpus, windows computed arithmetically from index formulas (no gather),
+sample-phase alignment via 24 masked static rolls (two-level 8/16 shift
+decomposition), and a row scatter-add into the output — ~100x fewer
+indices (measured: 273 ms -> ~25 ms at the 1M-unit bench shapes).
 """
 
 from __future__ import annotations
@@ -34,7 +43,6 @@ import jax.numpy as jnp
 def crossfade_window(frag_len: jax.Array, max_len: int, taper: int) -> jax.Array:
     """Per-fragment window (n_units, max_len): rises over the first 2*taper
     samples, 1 in the middle, falls over the last 2*taper before frag_len."""
-    import numpy as np
     pos = jnp.arange(max_len, dtype=jnp.float32)[None, :]
     L = frag_len.astype(jnp.float32)[:, None]
     t2 = float(2 * taper)
@@ -44,6 +52,23 @@ def crossfade_window(frag_len: jax.Array, max_len: int, taper: int) -> jax.Array
     fall_w = 0.5 - 0.5 * jnp.cos(jnp.pi * fall)
     win = jnp.minimum(rise_w, fall_w)
     return jnp.where(pos < L, win, 0.0)
+
+
+def _rotate_rows_right(x: jax.Array, e: jax.Array) -> jax.Array:
+    """Rotate each row of ``x`` (U, W) right by its own ``e`` in [0, 128).
+
+    Two-level static-roll decomposition (e = 8*e1 + e0): 16 + 8 masked
+    static rolls instead of a per-element gather — pure VPU passes.
+    """
+    e1 = (e // 8)[:, None]
+    e0 = (e % 8)[:, None]
+    y = jnp.zeros_like(x)
+    for s in range(16):
+        y = y + jnp.where(e1 == s, jnp.roll(x, 8 * s, axis=1), 0.0)
+    z = jnp.zeros_like(x)
+    for s in range(8):
+        z = z + jnp.where(e0 == s, jnp.roll(y, s, axis=1), 0.0)
+    return z
 
 
 @functools.partial(jax.jit, static_argnames=("max_frag", "out_len", "taper"))
@@ -68,21 +93,54 @@ def overlap_add_units(
     # output anchor of unit j = taper + sum of previous spans
     anchors = taper + jnp.cumsum(span) - span                    # (U,)
     total = taper * 2 + jnp.sum(span)
+    frag_len = jnp.where(live, span + 2 * taper, 0)              # (U,)
 
-    frag_len = jnp.where(live, span + 2 * taper, 0)
-    offs = jnp.arange(max_frag, dtype=jnp.int32)[None, :]        # (1, F)
-    src = (cut_start.astype(jnp.int32) - taper)[:, None] + offs  # (U, F)
-    n_corpus = waves.shape[0]
-    src_valid = (src >= 0) & (src < n_corpus) & (offs < frag_len[:, None]) & live[:, None]
-    frags = waves[jnp.clip(src, 0, n_corpus - 1)] * src_valid.astype(jnp.float32)
+    n = waves.shape[0]
+    pad = (-n) % 128
+    if pad:
+        # bandwidth-bound copy (~1 ms/GB) — callers may pre-pad to skip it
+        waves = jnp.concatenate([waves, jnp.zeros((pad,), waves.dtype)])
+    waves2d = waves.reshape(-1, 128)
+    n_rows_corpus = waves2d.shape[0]
 
-    win = crossfade_window(frag_len, max_frag, taper)
-    contrib = frags * win
+    src0 = cut_start.astype(jnp.int32) - taper                   # frag start
+    dst0 = anchors - taper                                       # output start
+    sq = src0 // 128
+    sr = src0 - sq * 128
+    dq = dst0 // 128
+    dr = dst0 - dq * 128
+    e = dr - sr
+    e = jnp.where(e < 0, e + 128, e)                             # [0, 128)
+    c = (sr + e - dr) // 128                                     # 0 or 1
 
-    dst = (anchors - taper)[:, None] + offs                      # (U, F)
-    dst_valid = src_valid & (dst >= 0) & (dst < out_len)
-    dst_flat = jnp.where(dst_valid, dst, out_len)                # spill to scratch slot
-    out = jnp.zeros((out_len + 1,), jnp.float32).at[dst_flat.reshape(-1)].add(
-        (contrib * dst_valid.astype(jnp.float32)).reshape(-1)
-    )
-    return out[:out_len], total
+    # read window wide enough for phase (<=127) + rotation (<=127) + frag
+    W = (-(-(max_frag + 256) // 128)) * 128
+    rows_per = W // 128
+    rows = sq[:, None] + jnp.arange(rows_per, dtype=jnp.int32)[None, :]
+    rows_ok = (rows >= 0) & (rows < n_rows_corpus) & live[:, None]
+    x = waves2d[jnp.clip(rows, 0, n_rows_corpus - 1)]            # (U, R, 128)
+    x = (x * rows_ok[:, :, None].astype(jnp.float32)).reshape(U, W)
+
+    # window + fragment mask, computed from index arithmetic (no gather):
+    # read-window index i holds fragment position pos = i - sr
+    pos = (jnp.arange(W, dtype=jnp.int32)[None, :] - sr[:, None]).astype(jnp.float32)
+    L = frag_len.astype(jnp.float32)[:, None]
+    t2 = float(2 * taper)
+    rise = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.clip((pos + 0.5) / t2, 0.0, 1.0))
+    fall = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.clip((L - pos - 0.5) / t2, 0.0, 1.0))
+    inside = (pos >= 0.0) & (pos < L)
+    x = x * jnp.where(inside, jnp.minimum(rise, fall), 0.0)
+
+    # align sample phase to the output grid; masked content is zero, so the
+    # roll wrap-around brings in only zeros
+    z = _rotate_rows_right(x, e).reshape(U, rows_per, 128)
+
+    out_rows = -(-out_len // 128)
+    dst_rows = (dq - c)[:, None] + jnp.arange(rows_per, dtype=jnp.int32)[None, :]
+    row_ok = live[:, None] & (dst_rows >= 0) & (dst_rows < out_rows)
+    dst_rows = jnp.where(row_ok, dst_rows, out_rows)             # spill row
+    out2 = jnp.zeros((out_rows + 1, 128), jnp.float32).at[
+        dst_rows.reshape(-1)
+    ].add(z.reshape(U * rows_per, 128)
+          * row_ok.reshape(-1, 1).astype(jnp.float32))
+    return out2[:out_rows].reshape(-1)[:out_len], total
