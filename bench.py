@@ -289,7 +289,8 @@ def run_epoch_mode(args, extra: dict):
               ) * synth._sqrt_wt[None, :]
         ids_ref, _ = oracle.synth_pipeline(
             tw.astype(np.float32), feats_w, jl, jr,
-            n_candidates=cfg.n_candidates, join_cost_weight=JCW)
+            n_candidates=cfg.n_candidates, join_cost_weight=JCW,
+            fast_preselect=True)
         agree_o = float((ids_tpu == ids_ref).mean())
         log(f"config3 agreement vs float64 oracle "
             f"({n_rows} held-out rows @ {db.n_units} units): {agree_o:.5f} "

@@ -50,7 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 T_TILE = 256       # target rows per grid step (VMEM-bounded: the
                    # while-carried fold array is multi-buffered by Mosaic)
 CHUNK = 2048       # DB rows per grid step
-BLOCK = 16         # sub-block fold width (leading-dim split: any granularity)
+BLOCK = 128        # sub-block fold width (leading-dim split: any granularity)
+                   # swept on real 1M-unit data (scripts/bench_topk.py):
+                   # 16->379ms, 32->341ms, 128->312ms, 512->321ms
 NB = CHUNK // BLOCK
 
 

@@ -43,6 +43,24 @@ def preselect(targets: np.ndarray, db: np.ndarray, k: int,
     return idx, dist
 
 
+def preselect_fast(targets: np.ndarray, db: np.ndarray, k: int,
+                   extra: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """GEMM-identity variant of :func:`preselect` (still float64, still
+    exhaustive, still stable-argsort tie-breaking): ||t-u||^2 = ||t||^2 -
+    2 t.u + ||u||^2 computed via one f64 matmul instead of a per-row diff
+    loop (~75x faster at 1M units; used by the bench's at-scale agreement
+    gate).  Cross-checked against :func:`preselect` in tests/test_ops.py."""
+    t64 = targets.astype(np.float64)
+    d64 = db.astype(np.float64)
+    sq = ((d64 * d64).sum(axis=1)[None, :]
+          - 2.0 * t64 @ d64.T
+          + (t64 * t64).sum(axis=1)[:, None])
+    if extra is not None:
+        sq = sq + extra
+    order = np.argsort(sq, kind="stable", axis=1)[:, :k]
+    return order, np.take_along_axis(sq, order, axis=1)
+
+
 def viterbi(
     target_costs: np.ndarray,    # (T, N) float64
     join_left: np.ndarray,       # (T, N, dj)
@@ -137,9 +155,11 @@ def synth_pipeline(
     search_epsilon: float = 0.0,
     use_greedy: bool = False,
     extra: np.ndarray | None = None,
+    fast_preselect: bool = False,
 ) -> tuple[np.ndarray, float]:
     """End-to-end selection oracle -> (unit ids (T,), total cost)."""
-    cand_idx, cand_sq = preselect(targets_w, db_feats_w, n_candidates, extra=extra)
+    pre = preselect_fast if fast_preselect else preselect
+    cand_idx, cand_sq = pre(targets_w, db_feats_w, n_candidates, extra=extra)
     if extra is not None:
         # recompute pure acoustic distances for the selected candidates
         T = len(targets_w)

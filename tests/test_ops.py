@@ -22,6 +22,21 @@ def test_topk_matches_oracle(rng):
     np.testing.assert_allclose(true_sq, ref_sq, rtol=1e-3, atol=1e-3)
 
 
+def test_oracle_fast_preselect_matches_loop(rng):
+    """The GEMM-identity f64 oracle variant (used by bench at 1M-unit scale)
+    selects identically to the loop-level oracle."""
+    targets = rng.standard_normal((40, 24)).astype(np.float32)
+    db = rng.standard_normal((3000, 24)).astype(np.float32)
+    i1, s1 = oracle.preselect(targets, db, 12)
+    i2, s2 = oracle.preselect_fast(targets, db, 12)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-9, atol=1e-9)
+    extra = np.where(rng.random((40, 3000)) < 0.5, 1e10, 0.0)
+    i1, _ = oracle.preselect(targets, db, 12, extra=extra)
+    i2, _ = oracle.preselect_fast(targets, db, 12, extra=extra)
+    np.testing.assert_array_equal(i1, i2)
+
+
 def test_viterbi_matches_oracle(rng):
     T, N, dj = 50, 16, 8
     tc = rng.random((T, N)).astype(np.float32) * 5
