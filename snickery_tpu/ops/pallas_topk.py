@@ -68,7 +68,8 @@ def _split3_dot(db, tgt):
     """bf16_3x f32 matmul (Precision.HIGH semantics — Mosaic lacks HIGH):
     split operands into bf16 hi + residual lo; hi*hi + hi*lo + lo*hi
     recovers ~f32 accuracy (measured ~1e-3 abs on unit-scale 152-dim dots)
-    at 3 bf16 MXU passes instead of HIGHEST's 6."""
+    at 3 bf16 MXU passes instead of HIGHEST's 6.  (Pre-splitting the
+    operands outside the kernel was measured SLOWER — the casts fuse.)"""
     db_hi32 = db.astype(jnp.bfloat16).astype(jnp.float32)
     tgt_hi32 = tgt.astype(jnp.bfloat16).astype(jnp.float32)
     db_hi = db_hi32.astype(jnp.bfloat16)
@@ -84,7 +85,7 @@ def _split3_dot(db, tgt):
 
 def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
                  has_ling: bool, ling_weights: tuple,
-                 t_tile: int, chunk: int, block: int, *refs):
+                 t_tile: int, chunk: int, block: int, db_major: bool, *refs):
     nb = chunk // block
     refs = list(refs)
     tgt_ref, db_ref, sqn_ref = refs[:3]
@@ -97,12 +98,21 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
         tling_ref, dling_ref = refs[:2]
         refs = refs[2:]
     out_vals_ref, out_cols_ref, state_vals, state_cols = refs
-    j = pl.program_id(1)
+    if db_major:
+        # grid (n_chunks, n_tiles): the DB streams from HBM exactly ONCE
+        # (670 MB at the 1M-unit bench vs once per tile = 43 GB); per-tile
+        # running states live in one full-width VMEM scratch, sliced at the
+        # (256-aligned) tile offset.
+        j = pl.program_id(0)                 # chunk index (outer)
+        sl = pl.ds(pl.program_id(1) * t_tile, t_tile)
+    else:
+        j = pl.program_id(1)                 # chunk index (inner)
+        sl = slice(None)
 
     @pl.when(j == 0)
     def _():
-        state_vals[:] = jnp.full((k, t_tile), jnp.inf, jnp.float32)
-        state_cols[:] = jnp.zeros((k, t_tile), jnp.int32)
+        state_vals[:, sl] = jnp.full((k, t_tile), jnp.inf, jnp.float32)
+        state_cols[:, sl] = jnp.zeros((k, t_tile), jnp.int32)
 
     tgt = tgt_ref[:]                                   # (T_TILE, d)
     db = db_ref[:]                                     # (CHUNK, d)
@@ -198,21 +208,22 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
         done = jnp.all(kth < remaining)
         return (fold, res_v, res_c, phase + 1, done)
 
-    init = (folded, state_vals[:], state_cols[:], jnp.int32(0), jnp.bool_(False))
+    init = (folded, state_vals[:, sl], state_cols[:, sl],
+            jnp.int32(0), jnp.bool_(False))
     _, res_v, res_c, _, _ = jax.lax.while_loop(phase_cond, phase_body, init)
-    state_vals[:] = res_v
-    state_cols[:] = res_c
+    state_vals[:, sl] = res_v
+    state_cols[:, sl] = res_c
 
     @pl.when(j == n_chunks - 1)
     def _():
-        out_vals_ref[:] = state_vals[:]
-        out_cols_ref[:] = state_cols[:]
+        out_vals_ref[:] = state_vals[:, sl]
+        out_cols_ref[:] = state_cols[:, sl]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "interpret", "mm_precision", "sort",
                                     "ling_weights", "t_tile", "chunk",
-                                    "block"))
+                                    "block", "db_major"))
 def pallas_topk_preselect(
     targets: jax.Array,       # (T, d) — T % T_TILE == 0
     db: jax.Array,            # (M, d) — M % CHUNK == 0
@@ -230,6 +241,10 @@ def pallas_topk_preselect(
     t_tile: int | None = None,       # target rows per grid step (default T_TILE)
     chunk: int | None = None,        # DB rows per grid step (default CHUNK)
     block: int | None = None,        # sub-block fold width (default BLOCK)
+    db_major: bool | None = None,    # grid order: True = DB chunk outer (DB
+                                     # streams from HBM once; per-tile states
+                                     # in one VMEM scratch).  None = auto
+                                     # (on unless the state would not fit)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -251,6 +266,9 @@ def pallas_topk_preselect(
     block = BLOCK if block is None else block
     assert chunk % block == 0
     T, d = targets.shape
+    if db_major is None:
+        # full-width running state must fit comfortably in VMEM
+        db_major = (T * k * 8 <= 8 * 2**20) and (t_tile % 128 == 0)
     M = db.shape[0]
     assert T % t_tile == 0, f"T={T} must be a multiple of {t_tile}"
     assert M % chunk == 0, f"M={M} must be a multiple of {chunk}"
@@ -259,19 +277,30 @@ def pallas_topk_preselect(
     has_part = partition is not None
     has_ling = linguistic is not None
 
+    # index helpers: `ti` selects the target-tile grid axis, `ci` the chunk
+    # axis — in db_major order the chunk axis is OUTER (axis 0)
+    if db_major:
+        ti = lambda i, j: j
+        ci = lambda i, j: i
+    else:
+        ti = lambda i, j: i
+        ci = lambda i, j: j
     in_specs = [
-        pl.BlockSpec((t_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((chunk, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, chunk, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t_tile, d), lambda i, j: (ti(i, j), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, d), lambda i, j: (ci(i, j), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk, 1), lambda i, j: (ci(i, j), 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     operands = [targets, db, sqn]
     if has_part:
         tgt_part, db_part = partition
         operands.append(tgt_part.astype(jnp.int32).reshape(T // t_tile, 1, t_tile))
         operands.append(db_part.astype(jnp.int32).reshape(n_chunks, chunk, 1))
-        in_specs.append(pl.BlockSpec((1, 1, t_tile), lambda i, j: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 1, t_tile), lambda i, j: (ti(i, j), 0, 0),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, chunk, 1), lambda i, j: (j, 0, 0),
+        in_specs.append(pl.BlockSpec((1, chunk, 1), lambda i, j: (ci(i, j), 0, 0),
                                      memory_space=pltpu.VMEM))
     if has_ling:
         if ling_weights is None:
@@ -287,32 +316,34 @@ def pallas_topk_preselect(
             [db_codes.astype(jnp.int32)[:, None], db_ctx.astype(jnp.int32),
              jnp.zeros((M, 2), jnp.int32)], axis=1).reshape(n_chunks, chunk, 8)
         operands.extend([tl, dl])
-        in_specs.append(pl.BlockSpec((1, 8, t_tile), lambda i, j: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 8, t_tile), lambda i, j: (ti(i, j), 0, 0),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, chunk, 8), lambda i, j: (j, 0, 0),
+        in_specs.append(pl.BlockSpec((1, chunk, 8), lambda i, j: (ci(i, j), 0, 0),
                                      memory_space=pltpu.VMEM))
     else:
         ling_weights = ()
 
     kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
                                has_part, has_ling, ling_weights,
-                               t_tile, chunk, block)
-    grid = (T // t_tile, n_chunks)
+                               t_tile, chunk, block, db_major)
+    grid = ((n_chunks, T // t_tile) if db_major else (T // t_tile, n_chunks))
     vals, cols = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((k, t_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, t_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, t_tile), lambda i, j: (0, ti(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, t_tile), lambda i, j: (0, ti(i, j)),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((k, T), jnp.float32),
             jax.ShapeDtypeStruct((k, T), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((k, t_tile), jnp.float32),
-            pltpu.VMEM((k, t_tile), jnp.int32),
+            pltpu.VMEM((k, T if db_major else t_tile), jnp.float32),
+            pltpu.VMEM((k, T if db_major else t_tile), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),

@@ -629,9 +629,11 @@ class Synthesiser:
                 multivoice=self.is_multivoice,
                 max_frag=self.max_frag, out_len=out_len,
                 taper=cfg.taper_length)
-            self.last_stream_unit_ids.append(
-                np.asarray(jax.device_get(unit_ids))[:t_units])
-            audio = np.array(jax.device_get(audio))[: int(total)]
+            # ONE host fetch per chunk: the axon transfer round-trip
+            # (~50-100 ms) is the latency floor, so never pay it twice
+            unit_ids, audio, total = jax.device_get((unit_ids, audio, total))
+            self.last_stream_unit_ids.append(np.asarray(unit_ids)[:t_units])
+            audio = np.array(audio)[: int(total)]
             audio[:t2] += tail
             tail = audio[-t2:].copy()
             yield audio[:-t2]
