@@ -300,6 +300,74 @@ def run_epoch_mode(args, extra: dict):
     return rtf, synth
 
 
+# ----------------------------------------------------- config #3, multiepoch=2
+def run_me2_mode(args, extra: dict):
+    """The reference's own multiepoch knob at the same ~1M-unit scale: units
+    span 2 pitch periods, so a lattice step covers twice the audio and the
+    contraction dim doubles to 302 (better MXU K-efficiency) — the TPU-first
+    operating point for a production voice of this size."""
+    import jax.numpy as jnp
+    from snickery_tpu import utils
+    from snickery_tpu.parallel import batched_synth_step
+    from snickery_tpu.synth import Synthesiser
+    from snickery_tpu.voicedb.build import build_voicedb
+
+    cfg = bench_config(voice_name="bench1m_me2", multiepoch=2,
+                       length_buckets=[1024])
+    n_utts = (2 * args.units) // 600 if not args.quick else 24
+
+    db = get_voice(
+        "bench1m_me2" if not args.quick else "benchq_me2",
+        lambda: build_voicedb(cfg, make_corpus(n_utts, 40, 20_000, False)),
+        cfg, args.rebuild)
+    synth = Synthesiser(cfg, db=db)
+    tgt_feats, _, _ = held_out_features(args.batch, 128 if not args.quick else 16,
+                                        seed0=94_000)
+    if args.quick:
+        synth.cfg.length_buckets = [128]
+    t_cap = 2 * synth.cfg.length_buckets[0] + 2
+    tgt_feats = [f[:t_cap] for f in tgt_feats]
+
+    results = synth.synth_batch(tgt_feats)
+
+    prepped = [synth.targets_from_features(f) for f in tgt_feats]
+    B = len(prepped)
+    t_bucket = utils.bucket_length(max(n for _, n in prepped),
+                                   tuple(synth.cfg.length_buckets))
+    tgts = np.zeros((B, t_bucket, db.target_dim), np.float32)
+    lengths = np.zeros(B, np.int32)
+    for b, (tu, n) in enumerate(prepped):
+        tgts[b, :n] = tu
+        lengths[b] = n
+    out_len = utils.next_multiple(
+        t_bucket * synth.max_span + 2 * cfg.taper_length, 128)
+    tgts_dev, lengths_dev = jnp.asarray(tgts), jnp.asarray(lengths)
+
+    def step():
+        return batched_synth_step(
+            synth._sharded_voice, tgts_dev, lengths_dev,
+            jnp.float32(JCW), jnp.float32(0.0),
+            mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
+            chunk=synth.chunk, max_frag=synth.max_frag,
+            out_len=out_len, taper=cfg.taper_length,
+            use_pallas=synth._use_pallas(),
+            mm_precision=cfg.preselect_precision)
+
+    sync(step())
+    t0 = time.time()
+    outs = [step() for _ in range(args.iters)]
+    out = outs[-1]
+    sync(out)
+    wall = (time.time() - t0) / args.iters
+    audio_sec = float(np.asarray(out[3]).sum()) / SR
+    rtf = wall / audio_sec
+    log(f"config3-me2 ({db.n_units} 2-epoch units, "
+        f"{len(db.waves)/SR/3600:.1f} h corpus): {wall*1e3:.1f} ms/step, "
+        f"{audio_sec:.1f} audio-sec/step, rtf {rtf:.5f}")
+    extra["config3_me2"] = {"rtf": rtf, "ms_per_step": wall * 1e3,
+                            "n_units": db.n_units, "multiepoch": 2}
+
+
 # ------------------------------------------------------------ config #2 halfphone
 def run_halfphone_mode(args, extra: dict):
     import jax.numpy as jnp
@@ -525,8 +593,10 @@ def run_pallas_check(args, extra: dict):
 # ----------------------------------------------------------------------- main
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--modes", default="epoch,pallas,streaming,halfphone,multivoice",
-                    help="comma list: epoch,halfphone,streaming,multivoice,pallas")
+    ap.add_argument("--modes",
+                    default="epoch,pallas,me2,streaming,halfphone,multivoice",
+                    help="comma list: epoch,me2,halfphone,streaming,"
+                         "multivoice,pallas")
     ap.add_argument("--units", type=int, default=1_048_576)
     ap.add_argument("--hp-units", type=int, default=50_000)
     ap.add_argument("--mv-units", type=int, default=262_144)
@@ -556,6 +626,7 @@ def main(argv=None) -> int:
     else:
         synth = None
     for name, fn in (("pallas", run_pallas_check),
+                     ("me2", run_me2_mode),
                      ("halfphone", run_halfphone_mode),
                      ("multivoice", run_multivoice_mode)):
         if name in modes:

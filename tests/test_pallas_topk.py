@@ -83,20 +83,6 @@ def test_pad_for_pallas():
     assert M % CHUNK == 0 and M >= 5000
 
 
-def test_pipelined_kernel_exact():
-    """Experimental pipelined variant stays correct (interpret mode)."""
-    from snickery_tpu.ops.pallas_topk_pipelined import (
-        CHUNK as PCHUNK, T_TILE as PT, pallas_topk_pipelined)
-    rng = np.random.default_rng(31)
-    T, M, d, k = PT, 3 * PCHUNK, 151, 20
-    targets = rng.standard_normal((T, d)).astype(np.float32)
-    db = rng.standard_normal((M, d)).astype(np.float32)
-    idx, vals = pallas_topk_pipelined(
-        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True)
-    ref_idx, ref_sq = oracle.preselect(targets, db, k)
-    _assert_topk_matches(idx, vals, targets, ref_idx, ref_sq)
-
-
 def test_pallas_linguistic_matches_xla():
     """Fused quinphone penalties in the kernel produce the SAME scores and
     selections as the XLA fallback path (identical penalty maths)."""
