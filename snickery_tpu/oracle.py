@@ -44,21 +44,48 @@ def preselect(targets: np.ndarray, db: np.ndarray, k: int,
 
 
 def preselect_fast(targets: np.ndarray, db: np.ndarray, k: int,
-                   extra: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+                   extra: np.ndarray | None = None,
+                   n_threads: int = 16) -> tuple[np.ndarray, np.ndarray]:
     """GEMM-identity variant of :func:`preselect` (still float64, still
-    exhaustive, still stable-argsort tie-breaking): ||t-u||^2 = ||t||^2 -
-    2 t.u + ||u||^2 computed via one f64 matmul instead of a per-row diff
-    loop (~75x faster at 1M units; used by the bench's at-scale agreement
-    gate).  Cross-checked against :func:`preselect` in tests/test_ops.py."""
+    exhaustive, still first-k-by-(value, index) tie-breaking): ||t-u||^2 =
+    ||t||^2 - 2 t.u + ||u||^2 via blocked, threaded f64 matmuls (numpy
+    releases the GIL inside dgemm), and selection via np.partition + a
+    tie-inclusive mask instead of a full-width sort.  Identical results to
+    :func:`preselect` (cross-checked in tests/test_ops.py); ~20x faster at
+    1M units — the bench's at-scale agreement gate."""
+    from concurrent.futures import ThreadPoolExecutor
+
     t64 = targets.astype(np.float64)
-    d64 = db.astype(np.float64)
-    sq = ((d64 * d64).sum(axis=1)[None, :]
-          - 2.0 * t64 @ d64.T
-          + (t64 * t64).sum(axis=1)[:, None])
+    T = len(t64)
+    M = len(db)
+    tsq = (t64 * t64).sum(axis=1)[:, None]
+    sq = np.empty((T, M), np.float64)
+    blocks = [(lo, min(lo + 131072, M)) for lo in range(0, M, 131072)]
+
+    def fill(b):
+        lo, hi = b
+        d64 = db[lo:hi].astype(np.float64)
+        sq[:, lo:hi] = ((d64 * d64).sum(axis=1)[None, :]
+                        - 2.0 * t64 @ d64.T + tsq)
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        list(ex.map(fill, blocks))
     if extra is not None:
         sq = sq + extra
-    order = np.argsort(sq, kind="stable", axis=1)[:, :k]
-    return order, np.take_along_axis(sq, order, axis=1)
+
+    # kth smallest value per row, then all indices with value <= kth in
+    # index order: identical set AND order semantics to a stable argsort
+    # (ties at the boundary resolve to the lowest indices)
+    kth = np.partition(sq, k - 1, axis=1)[:, k - 1]
+    idx = np.zeros((T, k), np.int64)
+    dist = np.zeros((T, k), np.float64)
+    for t in range(T):
+        cand = np.flatnonzero(sq[t] <= kth[t])        # index order
+        vals = sq[t, cand]
+        keep = np.lexsort((cand, vals))[:k]           # (value, index) order
+        idx[t] = cand[keep]
+        dist[t] = vals[keep]
+    return idx, dist
 
 
 def viterbi(
