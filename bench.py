@@ -300,6 +300,37 @@ def run_epoch_mode(args, extra: dict):
     return rtf, synth
 
 
+# ----------------------------------------------------- config #1 (toy voice)
+def run_toy_mode(args, extra: dict):
+    """BASELINE config #1: single-utterance synthesis on a toy voice (~5 min
+    of speech, epoch units, top-30 preselect).  The metric that matters at
+    this scale is per-utterance LATENCY through the public API (including
+    the host round trip), not throughput."""
+    from snickery_tpu.synth import Synthesiser
+    from snickery_tpu.voicedb.build import build_voicedb
+
+    cfg = bench_config(voice_name="benchtoy", length_buckets=[512])
+    db = get_voice(
+        "benchtoy",
+        lambda: build_voicedb(cfg, make_corpus(50, 40, 70_000, False)),
+        cfg, args.rebuild)
+    synth = Synthesiser(cfg, db=db)
+    feats, _, _ = held_out_features(3, 32, seed0=95_000)
+    synth.synth_from_features(feats[0])          # compile
+    times = []
+    for i in range(6):
+        t0 = time.time()
+        r = synth.synth_from_features(feats[i % len(feats)])
+        times.append(time.time() - t0)
+    lat = float(np.median(times)) * 1e3
+    audio_s = len(r["wave"]) / SR
+    log(f"config1 toy voice ({db.n_units} units, ~5 min speech): "
+        f"{lat:.0f} ms median per-utterance latency for ~{audio_s:.1f}s "
+        f"audio (public API incl. host round trip)")
+    extra["config1"] = {"latency_ms": lat, "n_units": db.n_units,
+                        "audio_sec": audio_s}
+
+
 # ----------------------------------------------------- config #3, multiepoch=2
 def run_me2_mode(args, extra: dict):
     """The reference's own multiepoch knob at the same ~1M-unit scale: units
@@ -594,8 +625,8 @@ def run_pallas_check(args, extra: dict):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes",
-                    default="epoch,pallas,me2,streaming,halfphone,multivoice",
-                    help="comma list: epoch,me2,halfphone,streaming,"
+                    default="epoch,pallas,toy,me2,streaming,halfphone,multivoice",
+                    help="comma list: epoch,toy,me2,halfphone,streaming,"
                          "multivoice,pallas")
     ap.add_argument("--units", type=int, default=1_048_576)
     ap.add_argument("--hp-units", type=int, default=50_000)
@@ -626,6 +657,7 @@ def main(argv=None) -> int:
     else:
         synth = None
     for name, fn in (("pallas", run_pallas_check),
+                     ("toy", run_toy_mode),
                      ("me2", run_me2_mode),
                      ("halfphone", run_halfphone_mode),
                      ("multivoice", run_multivoice_mode)):

@@ -127,23 +127,32 @@ def cmd_synth(args: argparse.Namespace) -> int:
         if args.dump_units:
             np.save(os.path.join(outdir, base + ".units.npy"), result["unit_ids"])
 
+    voice = args.voice if getattr(args, "voice", None) else None
+    if synth.is_multivoice and voice is None:
+        logger.error("multi-voice DB: pass --voice (available: %s)",
+                     synth.db.voice_names)
+        return 1
+
     use_batch = (cfg.synth_batch > 1 and not halfphone
                  and not (args.greedy or (args.greedy is None and cfg.greedy_search)))
     if use_batch:
         # batched path (config synth_batch > 1): group utterances into one
         # device step each
+        def flush(group, names):
+            voices = [voice] * len(group) if synth.is_multivoice else None
+            for b, r in zip(names, synth.synth_batch(group, voices=voices)):
+                emit(b, r)
+
         group, names = [], []
         for base in bases:
             feats, _, _, _ = _target_features_for(cfg, base)
             group.append(feats)
             names.append(base)
             if len(group) == cfg.synth_batch:
-                for b, r in zip(names, synth.synth_batch(group)):
-                    emit(b, r)
+                flush(group, names)
                 group, names = [], []
         if group:
-            for b, r in zip(names, synth.synth_batch(group)):
-                emit(b, r)
+            flush(group, names)
     else:
         for base in bases:
             feats, lf0, segments, epochs = _target_features_for(cfg, base)
@@ -153,11 +162,29 @@ def cmd_synth(args: argparse.Namespace) -> int:
                     continue
                 tgt, kept = synth.halfphone_targets_from_features(feats, epochs, segments)
                 result = synth.synth_from_features(
-                    tgt, greedy=args.greedy, target_segments=kept)
+                    tgt, greedy=args.greedy, target_segments=kept, voice=voice)
             else:
-                result = synth.synth_from_features(feats, greedy=args.greedy)
+                result = synth.synth_from_features(
+                    feats, greedy=args.greedy, voice=voice)
             emit(base, result)
     synth.timer.log("synth")
+    return 0
+
+
+def cmd_merge(args: argparse.Namespace) -> int:
+    """Merge several voice DBs into one multi-voice DB (config #5 prep)."""
+    from snickery_tpu.voicedb.db import VoiceDB
+    from snickery_tpu.voicedb.multivoice import merge_voicedbs
+
+    dbs = [VoiceDB.load(p) for p in args.voicedbs]
+    names = args.names.split(",") if args.names else None
+    if names and len(names) != len(dbs):
+        logger.error("--names needs exactly %d entries", len(dbs))
+        return 1
+    merged = merge_voicedbs(dbs, names=names)
+    merged.save(args.output)
+    logger.info("merged %d voices -> %s (%s)", len(dbs), args.output,
+                merged.summary())
     return 0
 
 
@@ -193,8 +220,16 @@ def main(argv: list[str] | None = None) -> int:
                               "config's greedy_search")
     p_synth.add_argument("--dump-units", action="store_true",
                          help="also save selected unit ids per utterance")
+    p_synth.add_argument("--voice", default="",
+                         help="voice name/id to select from (multi-voice DBs)")
     p_synth.add_argument("utterances", nargs="*", help="restrict to these basenames")
     p_synth.set_defaults(fn=cmd_synth)
+
+    p_merge = sub.add_parser("merge", help="merge voice DBs into a multi-voice DB")
+    p_merge.add_argument("voicedbs", nargs="+", help="input .voicedb dirs")
+    p_merge.add_argument("-o", "--output", required=True)
+    p_merge.add_argument("--names", default="", help="comma list of voice names")
+    p_merge.set_defaults(fn=cmd_merge)
 
     p_info = sub.add_parser("info", help="show voice/config info")
     _add_common(p_info)

@@ -158,7 +158,8 @@ def magphase_analysis(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frame_max", "n_fft", "n_samples", "sample_rate"),
+    static_argnames=("frame_max", "n_fft", "n_samples", "sample_rate",
+                     "wsum_floor"),
 )
 def magphase_synthesis_frames(
     mag: jax.Array,
@@ -169,6 +170,7 @@ def magphase_synthesis_frames(
     n_fft: int,
     n_samples: int,
     sample_rate: int,
+    wsum_floor: float = 0.3,
 ) -> jax.Array:
     """Resynthesise: streams + target epoch grid -> waveform (n_samples,).
 
@@ -207,7 +209,12 @@ def magphase_synthesis_frames(
     wsum = jnp.zeros((n_samples,), jnp.float32).at[
         jnp.clip(idx, 0, n_samples - 1).reshape(-1)
     ].add((win * valid.astype(jnp.float32)).reshape(-1))
-    return out / jnp.maximum(wsum, 0.3)
+    # wsum_floor guards against amplification where window coverage is thin
+    # (utterance edges, coarse epoch grids): positions whose summed window
+    # weight falls below the floor are attenuated rather than boosted.  A
+    # design constant (reference unavailable — SURVEY.md provenance note),
+    # exposed as a parameter so voices can re-tune it.
+    return out / jnp.maximum(wsum, wsum_floor)
 
 
 def magphase_synthesis(
@@ -217,6 +224,7 @@ def magphase_synthesis(
     fmin: float = 50.0,
     n_samples: int | None = None,
     epoch_samples: np.ndarray | None = None,
+    wsum_floor: float = 0.3,
 ) -> np.ndarray:
     """Resynthesise a waveform from {mag, real, imag, lf0} streams.
 
@@ -248,6 +256,6 @@ def magphase_synthesis(
         jnp.asarray(streams["imag"], jnp.float32),
         jnp.asarray(epochs, jnp.int32),
         frame_max=frame_max, n_fft=frame_max, n_samples=total,
-        sample_rate=sample_rate,
+        sample_rate=sample_rate, wsum_floor=wsum_floor,
     )
     return np.asarray(wave)

@@ -152,6 +152,49 @@ def test_halfphone_multivoice_merge_and_synth():
     assert (merged.voice_ids[res[1]["unit_ids"]] == 1).all()
 
 
+def test_cli_merge_and_voice_flag(two_voices, tmp_path):
+    """`cli merge` + `synth --voice` drive the multi-voice path end-to-end
+    from the command line."""
+    import dataclasses
+    import json
+    import os
+    from snickery_tpu.cli import main as cli_main
+    from snickery_tpu.io.speech import read_wave, write_wave
+    from tests.toyvoice import SR, synth_utterance
+
+    cfg, merged, (utts_a, utts_b), (db_a, db_b) = two_voices
+    pa, pb = str(tmp_path / "a.voicedb"), str(tmp_path / "b.voicedb")
+    db_a.save(pa)
+    db_b.save(pb)
+    out_db = str(tmp_path / "merged.voicedb")
+    assert cli_main(["merge", pa, pb, "-o", out_db, "--names", "alice,bob"]) == 0
+    from snickery_tpu.voicedb.db import VoiceDB
+    m2 = VoiceDB.load(out_db)
+    assert m2.voice_names == ["alice", "bob"]
+    assert m2.n_units == merged.n_units
+
+    # synth from the merged DB via the CLI with --voice
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    wave, _ = synth_utterance(777, n_segments=4)
+    write_wave(wave, str(wav_dir / "t0.wav"), SR)
+    cfg_path = tmp_path / "mv.json"
+    cfg_d = dataclasses.asdict(cfg)
+    cfg_d.update(workdir=str(tmp_path), voice_name="merged",
+                 wav_datadir=str(wav_dir))
+    cfg_path.write_text(json.dumps(cfg_d))
+    out = tmp_path / "out"
+    # no --voice -> error
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out)]) == 1
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out),
+                     "--voice", "bob", "--dump-units"]) == 0
+    audio, sr = read_wave(str(out / "t0.wav"))
+    assert len(audio) > 500
+    import numpy as _np
+    ids = _np.load(out / "t0.units.npy")
+    assert (m2.voice_ids[ids] == 1).all()
+
+
 def test_streaming_multivoice_requires_and_respects_voice(two_voices):
     """synth_streaming must demand a voice on merged DBs and never leak
     units across the partition (ADVICE.md round 1, medium)."""

@@ -77,6 +77,21 @@ def test_pallas_topk_duplicate_pileup():
     assert set_agree > 0.999
 
 
+def test_pallas_topk_tile_major_grid():
+    """The non-db-major grid order (used when the full-width state would
+    not fit VMEM) selects identically to db-major."""
+    rng = np.random.default_rng(71)
+    T, M, d, k = 2 * T_TILE, 2 * CHUNK, 24, 10
+    targets = jnp.asarray(rng.standard_normal((T, d)).astype(np.float32))
+    db = jnp.asarray(rng.standard_normal((M, d)).astype(np.float32))
+    i1, v1 = pallas_topk_preselect(targets, db, k=k, interpret=True,
+                                   db_major=True)
+    i2, v2 = pallas_topk_preselect(targets, db, k=k, interpret=True,
+                                   db_major=False)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_pad_for_pallas():
     T, M = pad_for_pallas(100, 5000)
     assert T % T_TILE == 0 and T >= 100
