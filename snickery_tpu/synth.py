@@ -589,6 +589,23 @@ class Synthesiser:
             yield from feature_chunks
             yield None                       # sentinel: flush leftover
 
+        def finish(pending):
+            # ONE host fetch per chunk: the axon transfer round-trip
+            # (~50-100 ms) is the latency floor, so never pay it twice
+            nonlocal tail
+            unit_ids, audio, total, t_units = pending
+            unit_ids, audio, total = jax.device_get((unit_ids, audio, total))
+            self.last_stream_unit_ids.append(np.asarray(unit_ids)[:t_units])
+            audio = np.array(audio)[: int(total)]
+            audio[:t2] += tail
+            tail = audio[-t2:].copy()
+            return audio[:-t2]
+
+        # depth-1 pipelining: chunk i+1 is ENQUEUED before chunk i's audio
+        # is fetched — the join-context dependency between chunks is a
+        # device array, so no host sync is needed, and the fetch round trip
+        # overlaps the next chunk's device compute.
+        pending = None
         for chunk_feats in chunks_then_flush():
             if chunk_feats is None:
                 # end of stream: pad any leftover epochs to one final unit by
@@ -629,14 +646,11 @@ class Synthesiser:
                 multivoice=self.is_multivoice,
                 max_frag=self.max_frag, out_len=out_len,
                 taper=cfg.taper_length)
-            # ONE host fetch per chunk: the axon transfer round-trip
-            # (~50-100 ms) is the latency floor, so never pay it twice
-            unit_ids, audio, total = jax.device_get((unit_ids, audio, total))
-            self.last_stream_unit_ids.append(np.asarray(unit_ids)[:t_units])
-            audio = np.array(audio)[: int(total)]
-            audio[:t2] += tail
-            tail = audio[-t2:].copy()
-            yield audio[:-t2]
+            if pending is not None:
+                yield finish(pending)
+            pending = (unit_ids, audio, total, t_units)
+        if pending is not None:
+            yield finish(pending)
         yield tail
 
     def halfphone_targets_from_features(

@@ -223,6 +223,46 @@ def test_hybrid_fixed_rate_targets(corpus, tmp_path):
     assert 0.75 < len(audio) / len(wave) < 1.25
 
 
+def test_48khz_voice(tmp_path):
+    """Reference voices are 16 or 48 kHz; the whole pipeline must be
+    sample-rate agnostic (analysis frame sizes scale with sr)."""
+    import json
+    from snickery_tpu.cli import main as cli_main
+    from snickery_tpu.io.speech import read_wave, write_wave
+
+    sr = 48000
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        n = int(0.9 * sr)
+        t = np.arange(n) / sr
+        f0 = 120.0 + 25.0 * np.sin(2 * np.pi * 0.7 * t + i)
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        wave = sum(a * np.sin((h + 1) * phase)
+                   for h, a in enumerate([0.5, 0.3, 0.2, 0.1]))
+        write_wave(wave.astype(np.float32), str(wav_dir / f"u{i}.wav"), sr)
+    cfg = {
+        "workdir": str(tmp_path / "w"),
+        "wav_datadir": str(wav_dir),
+        "stream_list": ["mag", "lf0"],
+        "datadims": {"mag": 60, "lf0": 1},
+        "sample_rate": sr,
+        "n_candidates": 8,
+        "taper_length": 96,
+        "length_buckets": [128, 256],
+        "voice_name": "hi48",
+    }
+    cfg_path = tmp_path / "48k.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert cli_main(["train", "-c", str(cfg_path)]) == 0
+    out = tmp_path / "out"
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out), "u0"]) == 0
+    audio, sr2 = read_wave(str(out / "u0.wav"))
+    assert sr2 == sr and len(audio) > 0.5 * sr
+    assert np.abs(audio).max() > 0.01
+
+
 def test_epoch_silence_trimming(corpus, tmp_path):
     """trim_silence in epoch mode drops low-energy edge epochs."""
     import json

@@ -114,6 +114,23 @@ def test_ola_matches_oracle_and_reconstructs(rng):
     )
 
 
+def test_ola_corpus_boundary_clipping(rng):
+    """Units whose taper window crosses the corpus start/end must match the
+    zero-filled oracle exactly (the row-granular path zeroes whole out-of-
+    range 128-sample rows; in-range samples are untouched)."""
+    corpus = rng.standard_normal(2000).astype(np.float32)
+    taper = 64
+    # first unit starts at sample 10 (taper window reaches -54);
+    # last unit ends at 1990 (window reaches 2054)
+    starts = np.array([10, 500, 1590])
+    ends = np.array([500, 1590, 1990])
+    out, total = overlap_add_units(
+        jnp.asarray(corpus), jnp.asarray(starts), jnp.asarray(ends),
+        n_units=jnp.int32(3), max_frag=2176, out_len=2560, taper=taper)
+    ref = oracle.overlap_add(corpus, starts, ends, taper)
+    np.testing.assert_allclose(np.asarray(out)[: int(total)], ref, atol=1e-5)
+
+
 def test_ola_padded_units_ignored(rng):
     corpus = rng.standard_normal(4000).astype(np.float32)
     starts = np.array([100, 600, 0, 0])
