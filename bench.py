@@ -255,6 +255,11 @@ def run_epoch_mode(args, extra: dict):
     sync(out)
     wall = (time.time() - t0) / args.iters
 
+    if args.profile:
+        with utils.trace_profile(args.profile):
+            sync(step())
+        log(f"config3 jax.profiler trace captured to {args.profile}")
+
     audio_sec = float(np.asarray(out[3]).sum()) / SR
     rtf = wall / audio_sec
     units_per_sec = float(lengths.sum()) / wall
@@ -641,6 +646,9 @@ def main(argv=None) -> int:
     ap.add_argument("--rebuild", action="store_true",
                     help="rebuild cached bench voices")
     ap.add_argument("--quick", action="store_true", help="small smoke shapes")
+    ap.add_argument("--profile", default="",
+                    help="directory for a jax.profiler trace of one "
+                         "steady-state config-#3 step (TensorBoard/Perfetto)")
     args = ap.parse_args(argv)
 
     from snickery_tpu import utils

@@ -83,6 +83,30 @@ def _split3_dot(db, tgt):
     return d(db_hi, tgt_hi) + d(db_hi, tgt_lo) + d(db_lo, tgt_hi)
 
 
+def _split3cat_operands(targets, db):
+    """Pre-split split3 operands, concatenated along K:
+    hi.hi + hi.lo + lo.hi == [db_hi|db_hi|db_lo] . [tgt_hi|tgt_lo|tgt_hi].
+    Built OUTSIDE the kernel so the DB-side cast/concat is loop-invariant
+    across grid steps (inside a jitted pipeline it is one ~2 ms elementwise
+    pass at 1M units, vs a per-grid-step cast+copy in-kernel).  K is
+    zero-padded to a lane multiple of 128 so Mosaic needs no relayout."""
+    db_hi32 = db.astype(jnp.bfloat16).astype(jnp.float32)
+    tgt_hi32 = targets.astype(jnp.bfloat16).astype(jnp.float32)
+    db_hi = db_hi32.astype(jnp.bfloat16)
+    tgt_hi = tgt_hi32.astype(jnp.bfloat16)
+    db_lo = (db - db_hi32).astype(jnp.bfloat16)
+    tgt_lo = (targets - tgt_hi32).astype(jnp.bfloat16)
+    pad = (-3 * db.shape[1]) % 128
+
+    def cat(parts):
+        n = parts[0].shape[0]
+        if pad:
+            parts = parts + [jnp.zeros((n, pad), jnp.bfloat16)]
+        return jnp.concatenate(parts, axis=1)
+
+    return cat([tgt_hi, tgt_lo, tgt_hi]), cat([db_hi, db_hi, db_lo])
+
+
 def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
                  has_ling: bool, ling_weights: tuple,
                  t_tile: int, chunk: int, block: int, db_major: bool, *refs):
@@ -118,6 +142,14 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
     db = db_ref[:]                                     # (CHUNK, d)
     if mm_precision == "split3":
         cross = _split3_dot(db, tgt)                   # (CHUNK, T_TILE)
+    elif mm_precision == "split3cat":
+        # operands arrive pre-split and K-concatenated (bf16, see wrapper):
+        # ONE MXU pass at K=3d instead of three at K=d — 3d pads to the
+        # next 128 multiple (e.g. 453->512) where three separate passes pad
+        # to 3*256=768 K-units at d=151, a 1.5x MXU-work saving.
+        cross = jax.lax.dot_general(
+            db, tgt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (CHUNK, T_TILE)
     else:
         cross = jax.lax.dot_general(
             db, tgt, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -274,6 +306,9 @@ def pallas_topk_preselect(
     assert M % chunk == 0, f"M={M} must be a multiple of {chunk}"
     n_chunks = M // chunk
     sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk, 1)
+    if mm_precision == "split3cat":
+        targets, db = _split3cat_operands(targets, db)
+        d = targets.shape[1]
     has_part = partition is not None
     has_ling = linguistic is not None
 

@@ -112,6 +112,38 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         logger.warning("could not enable compilation cache: %s", e)
 
 
+@contextlib.contextmanager
+def trace_profile(trace_dir: str | None) -> Iterator[None]:
+    """Capture a ``jax.profiler`` device trace into *trace_dir* (viewable
+    with TensorBoard / xprof / Perfetto).  No-op when *trace_dir* is falsy,
+    so call sites can pass a config/CLI value straight through.
+
+    Completes SURVEY.md §5.1 (the reference has no tracing at all; the
+    TPU rebuild's obligation is "jax.profiler traces; per-stage timers;
+    RTF reporting" — StageTimer and bench.py cover the other two).
+    """
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    safe_makedir(trace_dir)
+    try:
+        jax.profiler.start_trace(trace_dir)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        logger.warning("could not start jax.profiler trace: %s", e)
+        yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            jax.profiler.stop_trace()
+            logger.info("jax.profiler trace written to %s", trace_dir)
+        except Exception as e:  # pragma: no cover
+            logger.warning("could not stop jax.profiler trace: %s", e)
+
+
 def next_multiple(x: int, m: int) -> int:
     """Smallest multiple of *m* that is >= x (and >= m)."""
     return max(m, ((x + m - 1) // m) * m)

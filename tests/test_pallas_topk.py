@@ -169,3 +169,47 @@ def test_pallas_partition_restricts_selection():
     extra = np.where(tgt_part[:, None] != db_part[None, :], 1e30, 0.0)
     ref_idx, ref_sq = oracle.preselect(targets, db, k, extra=extra)
     assert (idx == ref_idx).mean() > 0.995
+
+
+def test_pallas_split3_vs_split3cat():
+    """split3cat (one MXU pass at K=3d on pre-concatenated operands) must
+    compute the same math as split3 (three K=d passes): raw dot products
+    agree to f32 rounding, so selected candidate SETS should be near-
+    identical, with disagreements confined to bf16-level near-ties."""
+    rng = np.random.default_rng(31)
+    T, M, d, k = T_TILE, 2 * CHUNK, 151, 30
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    i3, v3 = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        mm_precision="split3")
+    ic, vc = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        mm_precision="split3cat")
+    v3, vc = np.asarray(v3), np.asarray(vc)
+    i3, ic = np.asarray(i3), np.asarray(ic)
+    # candidate sets: allow rank swaps, require near-total set overlap
+    overlap = np.mean([
+        len(np.intersect1d(i3[t], ic[t])) / k for t in range(T)])
+    assert overlap > 0.99, f"candidate-set overlap {overlap:.4f}"
+    # kept scores agree to bf16-split rounding wherever indices agree
+    same = i3 == ic
+    np.testing.assert_allclose(v3[same], vc[same], rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_split3cat_vs_oracle():
+    """split3cat against the float64 oracle at the same tolerance the
+    split3 path is held to (bf16-split precision)."""
+    rng = np.random.default_rng(32)
+    T, M, d, k = T_TILE, 2 * CHUNK, 60, 16
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    idx, vals = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        mm_precision="split3cat")
+    ref_idx, ref_sq = oracle.preselect(targets, db, k)
+    true_sq = (np.asarray(vals).astype(np.float64)
+               + (targets.astype(np.float64) ** 2).sum(-1, keepdims=True))
+    np.testing.assert_allclose(true_sq, ref_sq, rtol=5e-3, atol=5e-3)
+    agree = (np.asarray(idx) == ref_idx).mean()
+    assert agree > 0.93, f"index agreement {agree:.4f}"
