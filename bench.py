@@ -141,7 +141,7 @@ def bench_config(**over):
         workdir=cache_dir(), stream_list=list(STREAMS), datadims=dict(DATADIMS),
         sample_rate=SR, n_candidates=30, taper_length=50,
         length_buckets=[2048], join_cost_weight=JCW,
-        preselect_precision="split3", voice_name="bench")
+        preselect_precision="split3cat", voice_name="bench")
     base.update(over)
     return SnickeryConfig(**base)
 
@@ -274,8 +274,9 @@ def run_epoch_mode(args, extra: dict):
         ref = sync(step(mm_precision="highest"))
         mask = (np.arange(t_bucket)[None, :] < lengths[:, None])
         agree = float((np.asarray(out[0]) == np.asarray(ref[0]))[mask].mean())
-        log(f"config3 unit-sequence agreement (split3 vs exact f32): {agree:.5f}")
-        extra["config3"]["agreement_split3_vs_f32"] = agree
+        log(f"config3 unit-sequence agreement "
+            f"({cfg.preselect_precision} vs exact f32): {agree:.5f}")
+        extra["config3"]["agreement_vs_f32"] = agree
 
     # ---- at-scale float64-oracle agreement on held-out rows (VERDICT #1) ----
     if not args.skip_oracle:

@@ -70,8 +70,10 @@ def main(argv=None) -> int:
     ap.add_argument("--dim", type=int, default=151)
     ap.add_argument("--k", type=int, default=30)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--precision", default="split3")
-    ap.add_argument("--combos", default="")
+    ap.add_argument("--precision", default="split3cat")
+    ap.add_argument("--select", default="phase")
+    ap.add_argument("--combos", default="",
+                    help="space list of t,chunk,block[,precision[,select]]")
     ap.add_argument("--real", action="store_true",
                     help="use the cached bench1m voice (real clustered data "
                          "+ coherent held-out targets) instead of gaussians")
@@ -88,7 +90,8 @@ def main(argv=None) -> int:
 
     combos = DEFAULT_COMBOS
     if args.combos:
-        combos = [tuple(int(x) for x in c.split(","))
+        combos = [tuple(int(x) if x.lstrip("-").isdigit() else x
+                        for x in c.split(","))
                   for c in args.combos.split()]
 
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
@@ -128,15 +131,21 @@ def main(argv=None) -> int:
             rng.standard_normal((args.units, args.dim)).astype(np.float32))
 
     results = []
-    for (t_tile, chunk, block) in combos:
+    for combo in combos:
+        t_tile, chunk, block = combo[:3]
+        prec = combo[3] if len(combo) > 3 else args.precision
+        sel = combo[4] if len(combo) > 4 else args.select
+        tag = (f"t_tile={t_tile:5} chunk={chunk:5} block={block:3} "
+               f"{prec:9s} {sel:6s}")
         if args.rows % t_tile or args.units % chunk or chunk % block:
-            print(f"t_tile={t_tile} chunk={chunk} block={block}: skipped (divisibility)")
+            print(f"{tag}: skipped (divisibility)")
             continue
         try:
             def run():
                 return pallas_topk_preselect(
-                    targets, db, k=args.k, mm_precision=args.precision,
-                    sort=False, t_tile=t_tile, chunk=chunk, block=block)
+                    targets, db, k=args.k, mm_precision=prec,
+                    sort=False, t_tile=t_tile, chunk=chunk, block=block,
+                    select=sel)
             t0 = time.time()
             out = run()
             np.asarray(out[0][:1])      # sync (host fetch)
@@ -145,16 +154,14 @@ def main(argv=None) -> int:
             outs = [run() for _ in range(args.iters)]
             np.asarray(outs[-1][0][:1])
             wall = (time.time() - t0) / args.iters
-            results.append((wall, t_tile, chunk, block))
-            print(f"t_tile={t_tile:5d} chunk={chunk:5d} block={block:3d}: "
-                  f"{wall*1e3:8.1f} ms  (compile {compile_s:.0f}s)")
+            results.append((wall, tag))
+            print(f"{tag}: {wall*1e3:8.1f} ms  (compile {compile_s:.0f}s)",
+                  flush=True)
         except Exception as e:
-            print(f"t_tile={t_tile} chunk={chunk} block={block}: "
-                  f"FAILED {type(e).__name__}: {e}")
+            print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
     if results:
         results.sort()
-        w, t, c, b = results[0]
-        print(f"\nBEST: t_tile={t} chunk={c} block={b} -> {w*1e3:.1f} ms")
+        print(f"\nBEST: {results[0][1]} -> {results[0][0]*1e3:.1f} ms")
     return 0
 
 

@@ -76,7 +76,10 @@ class SnickeryConfig:
     mesh_data: int = 1                      # data-parallel axis size (synth_batch path)
     mesh_db: int = 1                        # unit-DB shard axis size (synth_batch path)
     use_pallas: bool = True                 # pallas preselect kernel (else XLA top_k)
-    preselect_precision: str = "highest"    # "highest" (exact f32) | "split3" (bf16_3x, ~25% faster)
+    preselect_precision: str = "highest"    # "highest" (exact f32) | "split3"
+                                            # (bf16_3x) | "split3cat" (same
+                                            # maths as split3 in ONE K=3d MXU
+                                            # pass: ~1.7x faster preselect)
 
     # ---- misc ----
     voice_name: str = "voice"

@@ -43,3 +43,13 @@ DEFAULT_SAMPLE_RATE = 16000
 # "first"/"last" frame of each unit's feature trajectory (reference behaviour
 # per SURVEY.md §2 row 1).
 JOIN_CONTEXT_FRAMES = 1
+
+# Preselect rank margin for approximate (bf16-split) kernel precisions:
+# the Pallas kernel RANKS with split3/split3cat matmuls (~1e-3 absolute
+# score error), so the true k-th candidate can fall just past rank k.
+# Selecting k + PRESELECT_MARGIN and keeping the exact-f32 top-k after
+# rescoring makes a boundary miss require a ranking error larger than the
+# rank-k -> rank-(k+margin) score gap (measured: closes the last ~2% of
+# unit-sequence disagreement vs the float64 oracle at 1M units).  Exact
+# precisions ("highest", and the XLA fallback path) need no margin.
+PRESELECT_MARGIN = 10

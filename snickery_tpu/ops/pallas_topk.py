@@ -10,17 +10,24 @@ Layout and algorithm (chosen against measured Mosaic/axon behaviour):
   db_tile @ targets_tile^T, so the DB axis is the LEADING dim and folding
   into BLOCK-row sub-blocks is a free leading-dim reshape (Mosaic only
   allows lane-dim splits at 128, but leading-dim splits at any
-  granularity).  Small blocks (NB = CHUNK/BLOCK blocks of BLOCK=16 rows,
-  NB=128 >> k) make one selection phase almost always sufficient.
-- Phase loop (while_loop, exact): per phase compute per-block min + in-block
-  argmin (constant full passes over the chunk scores, which never leave
-  VMEM); then a pick while_loop extracts best blocks one at a time, but
-  ONLY while some row still has a block whose min beats that row's current
-  worst kept value — warm state makes this ~1-2 iterations per chunk.
-  Each pick replaces the row's worst slot of an UNSORTED k-slot state (two
-  k-wide passes, no merge loop); the caller sorts once at the end.  Phases
-  repeat until the worst kept value strictly undercuts every remaining
-  element.  Exact for any distribution of the top-k across blocks.
+  granularity).  BLOCK=128 rows x NB=16 blocks per CHUNK=2048 (swept on
+  real 1M-unit data, scripts/bench_topk.py).
+- Two exact selection loops (static `select` arg):
+  * "phase": per phase compute per-block min + in-block argmin (constant
+    full passes over the chunk scores, which never leave VMEM); a pick
+    while_loop extracts best blocks one at a time while some row still
+    has a block whose min beats that row's current worst kept value.
+    Phases repeat until the worst kept value strictly undercuts every
+    remaining element.
+  * "stream": a single pick while_loop; wbm (NB, T) holds each block's
+    EXACT current min (extracted elements are masked out of the fold and
+    the picked block's min is refreshed to its next min), so the loop
+    condition doubles as the exact termination test and the per-phase
+    bai/mask/remaining full-fold passes vanish — the constant per-chunk
+    cost is ONE full-fold pass (the initial per-block min).
+  Both replace the row's worst slot of an UNSORTED k-slot state (two
+  k-wide passes, no merge loop); the caller sorts once at the end.
+  Exact for any distribution of the top-k across blocks.
 - Scalar-loop iterations are the dominant cost on this hardware
   (~0.5 us each in Mosaic); the design minimises iteration count rather
   than vector work.
@@ -49,10 +56,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 T_TILE = 256       # target rows per grid step (VMEM-bounded: the
                    # while-carried fold array is multi-buffered by Mosaic)
-CHUNK = 2048       # DB rows per grid step
+CHUNK = 4096       # DB rows per grid step
 BLOCK = 128        # sub-block fold width (leading-dim split: any granularity)
-                   # swept on real 1M-unit data (scripts/bench_topk.py):
-                   # 16->379ms, 32->341ms, 128->312ms, 512->321ms
+                   # (t_tile, chunk, block) swept on real 1.15M-unit data
+                   # (scripts/bench_topk.py, split3cat + stream select):
+                   # (256,2048,128)->177ms, (256,4096,128)->170ms,
+                   # (512,4096,128)->171ms, (256,8192,128)->176ms,
+                   # (256,4096,64)->179ms, (128,2048,128)->197ms
 NB = CHUNK // BLOCK
 
 
@@ -109,7 +119,8 @@ def _split3cat_operands(targets, db):
 
 def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
                  has_ling: bool, ling_weights: tuple,
-                 t_tile: int, chunk: int, block: int, db_major: bool, *refs):
+                 t_tile: int, chunk: int, block: int, db_major: bool,
+                 select: str, *refs):
     nb = chunk // block
     refs = list(refs)
     tgt_ref, db_ref, sqn_ref = refs[:3]
@@ -184,6 +195,76 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
     iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, t_tile), 0)
     base_col = j * chunk
 
+    if select == "stream":
+        # Streaming-pick selection: ONE loop, no phase nest.  wbm (NB, T)
+        # holds each block's EXACT current min over its UNEXTRACTED
+        # elements, so `no block beats the row's worst kept` is an exact
+        # termination test — the bai / mask3 / remaining full-fold passes
+        # of the phase design vanish.  Extraction within a block proceeds
+        # in (value, row) lexicographic ascending order, so the set of
+        # extracted elements is exactly {(v, r) lex<= (xm, xr)} and the
+        # fold never needs a mask write: the fold is LOOP-INVARIANT and
+        # each pick costs ONE full-fold pass (the picked-block gather) +
+        # cheap (NB,T)/(BLOCK,T) ops.  Constant per-chunk cost is the
+        # single initial per-block-min pass.
+        iota_blk2 = jax.lax.broadcasted_iota(jnp.int32, (block, t_tile), 0)
+        bm0 = jnp.min(folded, axis=1)                              # (NB, T)
+        xm0 = jnp.full((nb, t_tile), -jnp.inf, jnp.float32)        # last-extracted value
+        xr0 = jnp.full((nb, t_tile), -1, jnp.int32)                # last-extracted row
+
+        def spick_cond(st):
+            it, wbm, xm, xr, sv, sc = st
+            worst = jnp.max(sv, axis=0)                            # (T,)
+            return jnp.logical_and(
+                it < k, jnp.any(jnp.min(wbm, axis=0) < worst))
+
+        def spick_body(st):
+            it, wbm, xm, xr, sv, sc = st
+            m, b = _first_argmin_cols(wbm, iota0_nb, nb)           # (T,), (T,)
+            onehot = iota0_nb == b[None, :]                        # (NB, T)
+            # gather the picked block's scores: (BLOCK, T) — THE full-fold
+            # pass of this iteration (inf-safe: min-select, the fold may
+            # hold inf partition masks)
+            blk = jnp.min(jnp.where(onehot[:, None, :], folded, jnp.inf),
+                          axis=0)                                  # (BLOCK, T)
+            # mask the block's already-extracted prefix (lex <= (xm_b, xr_b))
+            xm_b = jnp.sum(jnp.where(onehot, xm, 0.0), axis=0)     # (T,)
+            xr_b = jnp.sum(jnp.where(onehot, xr, 0), axis=0)       # (T,)
+            gone = (blk < xm_b[None, :]) | (
+                (blk == xm_b[None, :]) & (iota_blk2 <= xr_b[None, :]))
+            blk = jnp.where(gone, jnp.inf, blk)
+            mi = jnp.min(jnp.where(blk == m[None, :], iota_blk2, block),
+                         axis=0).astype(jnp.int32)                 # (T,)
+            col = b * block + mi + base_col
+            worst = jnp.max(sv, axis=0)
+            wslot = jnp.min(jnp.where(sv == worst[None, :], iota_k0, k),
+                            axis=0)                                # (T,)
+            better = m < worst
+            put = (iota_k0 == wslot[None, :]) & better[None, :]
+            sv = jnp.where(put, m[None, :], sv)
+            sc = jnp.where(put, col[None, :], sc)
+            # advance the extraction threshold and refresh the block's min
+            m2 = jnp.min(jnp.where((blk == m[None, :])
+                                   & (iota_blk2 <= mi[None, :]),
+                                   jnp.inf, blk), axis=0)          # (T,)
+            wbm = jnp.where(onehot, m2[None, :], wbm)
+            xm = jnp.where(onehot, m[None, :], xm)
+            xr = jnp.where(onehot, mi[None, :], xr)
+            return (it + 1, wbm, xm, xr, sv, sc)
+
+        _, _, _, _, res_v, res_c = jax.lax.while_loop(
+            spick_cond, spick_body,
+            (jnp.int32(0), bm0, xm0, xr0,
+             state_vals[:, sl], state_cols[:, sl]))
+        state_vals[:, sl] = res_v
+        state_cols[:, sl] = res_c
+
+        @pl.when(j == n_chunks - 1)
+        def _():
+            out_vals_ref[:] = state_vals[:, sl]
+            out_cols_ref[:] = state_cols[:, sl]
+        return
+
     def phase_cond(carry):
         fold, res_v, res_c, phase, done = carry
         # worst case one block holds all top-k: each phase then extracts
@@ -255,7 +336,7 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 @functools.partial(jax.jit,
                    static_argnames=("k", "interpret", "mm_precision", "sort",
                                     "ling_weights", "t_tile", "chunk",
-                                    "block", "db_major"))
+                                    "block", "db_major", "select"))
 def pallas_topk_preselect(
     targets: jax.Array,       # (T, d) — T % T_TILE == 0
     db: jax.Array,            # (M, d) — M % CHUNK == 0
@@ -277,6 +358,11 @@ def pallas_topk_preselect(
                                      # streams from HBM once; per-tile states
                                      # in one VMEM scratch).  None = auto
                                      # (on unless the state would not fit)
+    select: str = "stream",          # selection loop: "stream" (single exact
+                                     # pick loop, one constant full-fold pass
+                                     # per chunk — measured 1.15-1.2x faster
+                                     # than "phase" on real data) | "phase"
+                                     # (per-phase bai/mask/remaining passes)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -360,7 +446,7 @@ def pallas_topk_preselect(
 
     kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
                                has_part, has_ling, ling_weights,
-                               t_tile, chunk, block, db_major)
+                               t_tile, chunk, block, db_major, select)
     grid = ((n_chunks, T // t_tile) if db_major else (T // t_tile, n_chunks))
     vals, cols = pl.pallas_call(
         kernel,

@@ -107,7 +107,10 @@ def _select_decode_batch(
     tw = jnp.where(live[:, :, None], targets, 0.0)
     tw_flat = tw.reshape(B * T, D)
 
-    k_local = min(n_cand, m_local)
+    from snickery_tpu.const import PRESELECT_MARGIN
+    margin = (PRESELECT_MARGIN
+              if use_pallas and mm_precision != "highest" else 0)
+    k_local = min(n_cand + margin, m_local)
     tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)            # (B*T,)
     ling = None
     if halfphone:
@@ -142,30 +145,33 @@ def _select_decode_batch(
     shard_id = jax.lax.axis_index(db_axis)
     idx_global = idx_local + shard_id * m_local
 
-    if halfphone:
-        # exact acoustic distances of the local winners (local-id gather)
-        cand_feats = feats_shard[idx_local]                       # (B*T, k, D)
-        diff = cand_feats - tw_flat[:, None, :]
-        ac_local = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    # exact f32 rescoring of the k local winners (local-id gather): the
+    # kernel may RANK with bf16-split matmuls (split3/split3cat), but the
+    # cost lattice must see exact distances — otherwise split noise flips
+    # near-tied Viterbi decisions (measured: ~6% unit-sequence disagreement
+    # vs the float64 oracle at 1M units without this).  inf kernel scores
+    # (partition-starved slots) stay inf.
+    cand_feats = feats_shard[idx_local]                           # (B*T, k, D)
+    diff = cand_feats - tw_flat[:, None, :]
+    ac_local = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    ac_local = jnp.where(jnp.isinf(scores_local), jnp.inf, ac_local)
+    # ranking key: halfphone keeps the penalty-polluted kernel scores (the
+    # quinphone penalties decide WHO preselects); epoch mode ranks by the
+    # exact distance itself
+    rank_local = scores_local if halfphone else ac_local
 
-    # gather (k per shard) over the db axis -> (B*T, ndb * k)
-    all_scores = jax.lax.all_gather(scores_local, db_axis, axis=1, tiled=True)
+    # gather (k_local per shard) over the db axis -> (B*T, ndb * k_local)
+    all_rank = jax.lax.all_gather(rank_local, db_axis, axis=1, tiled=True)
     all_idx = jax.lax.all_gather(idx_global, db_axis, axis=1, tiled=True)
-    if halfphone:
-        all_ac = jax.lax.all_gather(ac_local, db_axis, axis=1, tiled=True)
-    if all_scores.shape[1] > n_cand:
-        neg, pos = jax.lax.top_k(-all_scores, n_cand)
-        cand_idx = jnp.take_along_axis(all_idx, pos, axis=1)      # (B*T, n_cand)
-        best_sq = -neg
-        if halfphone:
-            target_costs = jnp.take_along_axis(all_ac, pos, axis=1)
-    else:
-        cand_idx, best_sq = all_idx, all_scores
-        if halfphone:
-            target_costs = all_ac
-    if not halfphone:
-        tsq = jnp.sum(tw_flat * tw_flat, axis=-1, keepdims=True)
-        target_costs = jnp.sqrt(jnp.maximum(best_sq + tsq, 0.0))
+    all_ac = jax.lax.all_gather(ac_local, db_axis, axis=1, tiled=True)
+    # global re-top-k + canonical candidate order in ONE lexsort: candidates
+    # sorted by (rank, unit-id) ascending, keep n_cand.  Viterbi breaks
+    # exact ties by candidate position, so this order must match the
+    # float64 oracle's (value, index) convention — kernel state-slot order
+    # is arbitrary and changes with tiling/selection internals.
+    order = jnp.lexsort((all_idx, all_rank), axis=-1)[:, :n_cand]
+    cand_idx = jnp.take_along_axis(all_idx, order, axis=-1)
+    target_costs = jnp.take_along_axis(all_ac, order, axis=-1)
     target_costs = jnp.where(live.reshape(-1, 1), target_costs, 0.0)
 
     n_sel = cand_idx.shape[1]

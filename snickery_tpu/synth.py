@@ -105,24 +105,37 @@ def synth_pipeline_step(
 
     ling = (tgt_codes, tgt_ctx, db.codes, db.ctx) if halfphone else None
     part = (tgt_vids, db.vids) if multivoice else None
+    # rank margin under approximate kernel precisions (see const.py):
+    # preselect k+margin, keep the exact top-k after rescoring below
+    from snickery_tpu.const import PRESELECT_MARGIN
+    margin = (PRESELECT_MARGIN
+              if use_pallas and mm_precision != "highest" else 0)
+    k_sel = min(n_cand + margin, db.feats.shape[0])
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
-            tw, db.feats, k=n_cand, mm_precision=mm_precision, sort=False,
+            tw, db.feats, k=k_sel, mm_precision=mm_precision, sort=False,
             partition=part, linguistic=ling, ling_weights=ling_weights)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling,
             partition=part, ling_weights=ling_weights)
-    tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
-    if halfphone:
-        # linguistic penalties pollute the scores; recompute exact acoustic
-        # distances for the preselected candidates only.
-        cand_feats = db.feats[cand_idx]                         # (T,N,D)
-        diff = cand_feats - tw[:, None, :]
-        target_costs = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-    else:
-        target_costs = jnp.sqrt(jnp.maximum(scores + tsq, 0.0))
+    # exact f32 rescoring of the k winners + canonical (score, unit-id)
+    # order: the kernel may RANK with bf16-split matmuls, but the cost
+    # lattice must see exact distances, and Viterbi breaks exact ties by
+    # candidate position so the order must match the float64 oracle's
+    # (value, index) convention (see parallel/sharded.py for the measured
+    # agreement impact of each).  Halfphone ranks by the penalty-polluted
+    # kernel scores (penalties decide WHO preselects); epoch mode by the
+    # exact distance itself.
+    cand_feats = db.feats[cand_idx]                             # (T,N,D)
+    diff = cand_feats - tw[:, None, :]
+    ac = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    ac = jnp.where(jnp.isinf(scores), jnp.inf, ac)
+    rank = scores if halfphone else ac
+    order = jnp.lexsort((cand_idx, rank), axis=-1)[:, :n_cand]
+    cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
+    target_costs = jnp.take_along_axis(ac, order, axis=-1)
     target_costs = jnp.where(live[:, None], target_costs, 0.0)
 
     jl_cand = db.jl[cand_idx]                                   # (T,N,dj)
@@ -178,17 +191,29 @@ def _streaming_step(
     live = jnp.arange(T, dtype=jnp.int32) < length
     tw = jnp.where(live[:, None], tw, 0.0)
     part = (tgt_codes, db.vids) if multivoice else None
+    from snickery_tpu.const import PRESELECT_MARGIN
+    margin = (PRESELECT_MARGIN
+              if use_pallas and mm_precision != "highest" else 0)
+    k_sel = min(n_cand + margin, db.feats.shape[0])
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
-            tw, db.feats, k=n_cand, mm_precision=mm_precision, sort=False,
+            tw, db.feats, k=k_sel, mm_precision=mm_precision, sort=False,
             partition=part)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, partition=part)
-    tsq = jnp.sum(tw * tw, axis=-1, keepdims=True)
-    target_costs = jnp.where(live[:, None],
-                             jnp.sqrt(jnp.maximum(scores + tsq, 0.0)), 0.0)
+    # exact f32 rescoring + canonical (score, unit-id) order — same
+    # rationale as synth_pipeline_step (lattice costs must be exact f32,
+    # tie-break order must match the oracle's convention)
+    cand_feats = db.feats[cand_idx]
+    diff = cand_feats - tw[:, None, :]
+    ac = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    ac = jnp.where(jnp.isinf(scores), jnp.inf, ac)
+    order = jnp.lexsort((cand_idx, ac), axis=-1)[:, :n_cand]
+    cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
+    target_costs = jnp.where(
+        live[:, None], jnp.take_along_axis(ac, order, axis=-1), 0.0)
     jl_cand = db.jl[cand_idx]
     jr_cand = db.jr[cand_idx]
 
