@@ -282,3 +282,35 @@ def test_sample_level_units(tmp_path):
     assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out), "s0"]) == 0
     audio, sr = read_wave(str(out / "s0.wav"))
     assert len(audio) > 1000 and np.abs(audio).max() > 0.01
+
+
+def test_epoch_agreement_vs_oracle_split3cat(epoch_voice):
+    """Same held-out-target agreement gate through the bf16-split ranking
+    path (preselect_precision=split3cat): the exact-f32 candidate rescoring
+    + PRESELECT_MARGIN must keep unit sequences oracle-faithful even though
+    the kernel ranks with ~1e-3-error matmuls."""
+    from tests.toyvoice import prepare_toy_utts
+    cfg, db, utts, synth = epoch_voice
+    utt = prepare_toy_utts(1, seed0=901)[0]
+    old = cfg.preselect_precision
+    cfg.preselect_precision = "split3cat"
+    try:
+        result = synth.synth_from_features(utt.features)
+    finally:
+        cfg.preselect_precision = old
+    ids_tpu = result["unit_ids"]
+
+    tgt_units, t_units = synth.targets_from_features(utt.features)
+    tnorm = (tgt_units - db.mean_target) / db.std_target
+    tw = (tnorm * synth._sqrt_wt[None, :]).astype(np.float32)
+    feats = db.normalised_features().astype(np.float32) * synth._sqrt_wt[None, :]
+    jl, jr = db.normalised_joins()
+    jl = (jl * synth._sqrt_wj[None, :]).astype(np.float32)
+    jr = (jr * synth._sqrt_wj[None, :]).astype(np.float32)
+    ids_ref, _ = oracle.synth_pipeline(
+        tw, feats, jl, jr,
+        n_candidates=min(cfg.n_candidates, synth.n_units_padded),
+        join_cost_weight=cfg.join_cost_weight,
+    )
+    agree = (ids_tpu == ids_ref).mean()
+    assert agree >= 0.99, f"split3cat agreement vs oracle: {agree}"
