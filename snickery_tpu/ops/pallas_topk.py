@@ -93,28 +93,37 @@ def _split3_dot(db, tgt):
     return d(db_hi, tgt_hi) + d(db_hi, tgt_lo) + d(db_lo, tgt_hi)
 
 
-def _split3cat_operands(targets, db):
-    """Pre-split split3 operands, concatenated along K:
-    hi.hi + hi.lo + lo.hi == [db_hi|db_hi|db_lo] . [tgt_hi|tgt_lo|tgt_hi].
-    Built OUTSIDE the kernel so the DB-side cast/concat is loop-invariant
-    across grid steps (inside a jitted pipeline it is one ~2 ms elementwise
-    pass at 1M units, vs a per-grid-step cast+copy in-kernel).  K is
-    zero-padded to a lane multiple of 128 so Mosaic needs no relayout."""
-    db_hi32 = db.astype(jnp.bfloat16).astype(jnp.float32)
-    tgt_hi32 = targets.astype(jnp.bfloat16).astype(jnp.float32)
-    db_hi = db_hi32.astype(jnp.bfloat16)
-    tgt_hi = tgt_hi32.astype(jnp.bfloat16)
-    db_lo = (db - db_hi32).astype(jnp.bfloat16)
-    tgt_lo = (targets - tgt_hi32).astype(jnp.bfloat16)
-    pad = (-3 * db.shape[1]) % 128
+def _bf16_split(x):
+    """(hi, lo) bf16 split of an f32 array: hi + lo ~= x to ~f32 accuracy."""
+    hi32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
 
-    def cat(parts):
-        n = parts[0].shape[0]
-        if pad:
-            parts = parts + [jnp.zeros((n, pad), jnp.bfloat16)]
-        return jnp.concatenate(parts, axis=1)
 
-    return cat([tgt_hi, tgt_lo, tgt_hi]), cat([db_hi, db_hi, db_lo])
+def _cat128(parts):
+    """Concatenate along K, zero-padded to a lane multiple of 128 so Mosaic
+    needs no relayout."""
+    width = sum(p.shape[1] for p in parts)
+    pad = (-width) % 128
+    if pad:
+        parts = parts + [jnp.zeros((parts[0].shape[0], pad), jnp.bfloat16)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def split3cat_db(db):
+    """DB-side split3cat operand: [db_hi | db_hi | db_lo], bf16, K padded to
+    a 128 multiple.  hi.hi + hi.lo + lo.hi == this . [tgt_hi|tgt_lo|tgt_hi].
+
+    PRECOMPUTE this once per voice (Synthesiser does, at DB-prep time) and
+    pass it as ``db_split=``: the cast/concat over the full DB would
+    otherwise rematerialise a ~1 GB bf16 transient inside every jitted
+    synthesis step at 1M-unit scale."""
+    db_hi, db_lo = _bf16_split(db)
+    return _cat128([db_hi, db_hi, db_lo])
+
+
+def _split3cat_targets(targets):
+    tgt_hi, tgt_lo = _bf16_split(targets)
+    return _cat128([tgt_hi, tgt_lo, tgt_hi])
 
 
 def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
@@ -363,6 +372,9 @@ def pallas_topk_preselect(
                                      # per chunk — measured 1.15-1.2x faster
                                      # than "phase" on real data) | "phase"
                                      # (per-phase bai/mask/remaining passes)
+    db_split: jax.Array | None = None,  # precomputed split3cat_db(db) —
+                                     # avoids rematerialising the bf16 cat
+                                     # operand per call (split3cat only)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -393,8 +405,11 @@ def pallas_topk_preselect(
     n_chunks = M // chunk
     sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk, 1)
     if mm_precision == "split3cat":
-        targets, db = _split3cat_operands(targets, db)
+        targets = _split3cat_targets(targets)
+        db = split3cat_db(db) if db_split is None else db_split
         d = targets.shape[1]
+        assert db.shape == (M, d), (
+            f"db_split shape {db.shape} != expected {(M, d)}")
     has_part = partition is not None
     has_ling = linguistic is not None
 

@@ -24,9 +24,31 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-from snickery_tpu.const import BIG_PENALTY
+from snickery_tpu.const import BIG_PENALTY, PRESELECT_MARGIN
+
+
+def preselect_margin(use_pallas: bool, mm_precision: str,
+                     halfphone: bool = False) -> int:
+    """Extra preselect rank slots under approximate kernel precisions.
+
+    The Pallas kernel RANKS with bf16-split matmuls for split3/split3cat;
+    selecting k + margin and keeping the exact-f32 top-k after rescoring
+    absorbs ranking error at the rank-k boundary (see const.PRESELECT_MARGIN).
+    Exact paths need no margin.  Halfphone mode gets none either: its final
+    keep is by the SAME penalty-polluted kernel scores that ranked the
+    preselect, so extra slots cannot change the kept set.
+    """
+    if use_pallas and mm_precision != "highest" and not halfphone:
+        return PRESELECT_MARGIN
+    return 0
+
+
+# finite stand-in for +inf inside MXU-based extraction (0 * inf = NaN);
+# far above any real score (padded-DB rows reach ~1e14, f32 max 3.4e38)
+_FINF = np.float32(3.0e38)
 
 
 def _chunk_scores(targets, db_chunk, db_sqnorm_chunk):
@@ -89,6 +111,11 @@ def _chunk_topk_hier(scores: jax.Array, k: int, block: int) -> tuple[jax.Array, 
     T, C = scores.shape
     assert C % block == 0
     nb = C // block
+    # inf scores (partition exclusions) would poison the one-hot MXU
+    # extraction below (0 * inf = NaN): clamp to a finite sentinel far above
+    # any real score (padded-DB rows reach ~1e14; f32 max is 3.4e38) and
+    # restore inf on output so callers can still identify excluded slots.
+    scores = jnp.minimum(scores, _FINF)
     folded = scores.reshape(T, nb, block)
     block_min = jnp.min(folded, axis=2)                       # (T, nb)
     kb = min(k, nb)
@@ -106,6 +133,7 @@ def _chunk_topk_hier(scores: jax.Array, k: int, block: int) -> tuple[jax.Array, 
     # member position -> original column: block id via exact integer matmul
     blk = jnp.take_along_axis(top_blocks, pos // block, axis=1)
     col = blk * block + pos % block
+    vals = jnp.where(vals >= _FINF, jnp.inf, vals)
     return vals, col.astype(jnp.int32)
 
 
@@ -175,9 +203,13 @@ def topk_preselect(
             else:
                 scores = scores + quinphone_penalties(ling[0], ling[1], code_c, ctx_c)
         if part is not None:
+            # hard-restrict to matching partition (voice) ids with inf —
+            # same convention as the Pallas kernel, so downstream exact
+            # rescoring can identify excluded slots via isinf regardless
+            # of which preselect path produced them
             part_c = rest.pop(0)
-            scores = scores + jnp.where(
-                part[0][:, None] != part_c[None, :], BIG_PENALTY, 0.0)
+            scores = jnp.where(
+                part[0][:, None] != part_c[None, :], jnp.inf, scores)
         vals, cols = _chunk_topk_hier(scores, k, block)
         return carry, (vals, cols + ci * chunk)
 

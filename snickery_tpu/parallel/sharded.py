@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from snickery_tpu.ops.ola import overlap_add_units
-from snickery_tpu.ops.topk import topk_preselect
+from snickery_tpu.ops.topk import preselect_margin, topk_preselect
 from snickery_tpu.ops.viterbi import viterbi_decode
 
 from snickery_tpu import utils
@@ -50,21 +50,32 @@ class ShardedVoice(NamedTuple):
                           # (all-zero for single-voice DBs)
     codes: jax.Array      # (Mp,) halfphone codes, row-sharded (zeros epoch mode)
     ctx: jax.Array        # (Mp, 5) quinphone codes, row-sharded
+    feats_split: jax.Array | None = None  # precomputed split3cat operand
+                                          # (bf16, row-sharded; only when
+                                          # preselect_precision=split3cat)
 
 
 def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
-                sqrt_wt, part=None, codes=None, ctx=None) -> ShardedVoice:
+                sqrt_wt, part=None, codes=None, ctx=None,
+                split3cat: bool = False) -> ShardedVoice:
     """Place padded DB arrays onto the mesh with the layout above.
 
     ``feats`` must have rows divisible by the db-axis size.
+    ``split3cat``: also precompute the bf16 K-concatenated preselect operand
+    (ops.pallas_topk.split3cat_db), row-sharded like ``feats``.
     """
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P("db", None))
     ids = NamedSharding(mesh, P("db"))
     put = jax.device_put
     mp = np.shape(feats)[0]
+    feats_dev = put(jnp.asarray(feats, jnp.float32), rows)
+    feats_split = None
+    if split3cat:
+        from snickery_tpu.ops.pallas_topk import split3cat_db
+        feats_split = jax.jit(split3cat_db, out_shardings=rows)(feats_dev)
     return ShardedVoice(
-        feats=put(jnp.asarray(feats, jnp.float32), rows),
+        feats=feats_dev,
         jl=put(jnp.asarray(jl, jnp.float32), repl),
         jr=put(jnp.asarray(jr, jnp.float32), repl),
         cut1=put(jnp.asarray(cut1, jnp.int32), repl),
@@ -82,6 +93,7 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
         ctx=put(jnp.asarray(
             ctx if ctx is not None else np.zeros((mp, 5), np.int32),
             jnp.int32), rows),
+        feats_split=feats_split,
     )
 
 
@@ -90,6 +102,7 @@ def _select_decode_batch(
     targets, lengths, voice_ids, tgt_codes, tgt_ctx,
     *, n_cand, chunk, jcw, eps, db_axis, use_pallas=False, multivoice=False,
     mm_precision="highest", halfphone=False, ling_weights=None,
+    feats_split_shard=None, pallas_interpret=False,
 ):
     """Batched selection on one device: the whole local batch's target frames
     are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
@@ -107,9 +120,7 @@ def _select_decode_batch(
     tw = jnp.where(live[:, :, None], targets, 0.0)
     tw_flat = tw.reshape(B * T, D)
 
-    from snickery_tpu.const import PRESELECT_MARGIN
-    margin = (PRESELECT_MARGIN
-              if use_pallas and mm_precision != "highest" else 0)
+    margin = preselect_margin(use_pallas, mm_precision, halfphone)
     k_local = min(n_cand + margin, m_local)
     tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)            # (B*T,)
     ling = None
@@ -133,7 +144,8 @@ def _select_decode_batch(
                       ling[2], ling[3])
         idx_local, scores_local = pallas_topk_preselect(
             tw_k, feats_shard, k=k_local, mm_precision=mm_precision, sort=False,
-            partition=part, linguistic=ling_k, ling_weights=ling_weights)
+            partition=part, linguistic=ling_k, ling_weights=ling_weights,
+            db_split=feats_split_shard, interpret=pallas_interpret)
         if pad:
             idx_local = idx_local[:rows]
             scores_local = scores_local[:rows]
@@ -193,7 +205,8 @@ def _select_decode_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper",
-                     "use_pallas", "mm_precision", "halfphone", "ling_weights"),
+                     "use_pallas", "mm_precision", "halfphone", "ling_weights",
+                     "pallas_interpret"),
 )
 def batched_synth_step(
     voice: ShardedVoice,
@@ -215,6 +228,7 @@ def batched_synth_step(
     mm_precision: str = "highest",
     halfphone: bool = False,
     ling_weights: tuple | None = None,
+    pallas_interpret: bool = False,
 ):
     """Batched multi-utterance synthesis over the mesh.
 
@@ -231,7 +245,15 @@ def batched_synth_step(
     if tgt_ctx is None:
         tgt_ctx = jnp.zeros((B, T, 5), jnp.int32)
 
-    def shard_fn(feats_shard, jl, jr, cut1, cut2, waves, mean_t, std_t,
+    # precomputed split3cat DB operand: sharded like feats when present; a
+    # feats alias otherwise (ignored inside — keeps the shard_map signature
+    # static without a dummy allocation)
+    has_split = (use_pallas and mm_precision == "split3cat"
+                 and voice.feats_split is not None)
+    split_operand = voice.feats_split if has_split else voice.feats
+
+    def shard_fn(feats_shard, split_shard, jl, jr, cut1, cut2, waves,
+                 mean_t, std_t,
                  sqrt_wt, part_shard, codes_shard, ctx_shard,
                  tgt_local, len_local, vid_local, tcodes_local, tctx_local,
                  jcw_, eps_):
@@ -245,7 +267,9 @@ def batched_synth_step(
             n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis,
             use_pallas=use_pallas, multivoice=multivoice,
             mm_precision=mm_precision, halfphone=halfphone,
-            ling_weights=ling_weights)
+            ling_weights=ling_weights,
+            feats_split_shard=(split_shard if has_split else None),
+            pallas_interpret=pallas_interpret)
 
         def ola_one(ids, len_one):
             return overlap_add_units(
@@ -260,6 +284,7 @@ def batched_synth_step(
         mesh=mesh,
         in_specs=(
             P("db", None),            # feats
+            P("db", None),            # feats_split (or feats alias)
             P(), P(),                 # jl, jr
             P(), P(), P(),            # cut1, cut2, waves
             P(), P(), P(),            # mean_t, std_t, sqrt_wt
@@ -280,8 +305,8 @@ def batched_synth_step(
             P("data"),                # total samples
         ),
         check_vma=False,
-    )(voice.feats, voice.jl, voice.jr, voice.cut1, voice.cut2, voice.waves,
-      voice.mean_t, voice.std_t, voice.sqrt_wt, voice.part,
+    )(voice.feats, split_operand, voice.jl, voice.jr, voice.cut1, voice.cut2,
+      voice.waves, voice.mean_t, voice.std_t, voice.sqrt_wt, voice.part,
       voice.codes, voice.ctx,
       targets, lengths, voice_ids, tgt_codes, tgt_ctx, jcw, eps)
 

@@ -25,7 +25,7 @@ from snickery_tpu import utils
 from snickery_tpu.config import SnickeryConfig
 from snickery_tpu.const import BIG_PENALTY
 from snickery_tpu.ops.ola import overlap_add_units
-from snickery_tpu.ops.topk import topk_preselect
+from snickery_tpu.ops.topk import preselect_margin, topk_preselect
 from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
 from snickery_tpu.voicedb.db import VoiceDB
 
@@ -60,13 +60,17 @@ class DeviceDB(NamedTuple):
     codes: jax.Array        # (Mp,)  halfphone codes (zeros in epoch mode)
     ctx: jax.Array          # (Mp, 5) quinphone codes
     vids: jax.Array         # (Mp,)  voice ids (zeros for single-voice DBs)
+    feats_split: jax.Array | None = None  # precomputed split3cat_db(feats)
+                                          # (bf16 (Mp, pad128(3D)); only when
+                                          # preselect_precision=split3cat)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
                      "max_frag", "out_len", "taper", "use_pallas",
-                     "mm_precision", "multivoice", "ling_weights"),
+                     "mm_precision", "multivoice", "ling_weights",
+                     "pallas_interpret"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
@@ -89,6 +93,7 @@ def synth_pipeline_step(
     mm_precision: str = "highest",
     multivoice: bool = False,
     ling_weights: tuple | None = None,
+    pallas_interpret: bool = False,
 ):
     """The full per-utterance synthesis program (one compiled unit).
 
@@ -105,17 +110,16 @@ def synth_pipeline_step(
 
     ling = (tgt_codes, tgt_ctx, db.codes, db.ctx) if halfphone else None
     part = (tgt_vids, db.vids) if multivoice else None
-    # rank margin under approximate kernel precisions (see const.py):
-    # preselect k+margin, keep the exact top-k after rescoring below
-    from snickery_tpu.const import PRESELECT_MARGIN
-    margin = (PRESELECT_MARGIN
-              if use_pallas and mm_precision != "highest" else 0)
+    # rank margin under approximate kernel precisions: preselect k+margin,
+    # keep the exact top-k after rescoring below (ops.topk.preselect_margin)
+    margin = preselect_margin(use_pallas, mm_precision, halfphone)
     k_sel = min(n_cand + margin, db.feats.shape[0])
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
             tw, db.feats, k=k_sel, mm_precision=mm_precision, sort=False,
-            partition=part, linguistic=ling, ling_weights=ling_weights)
+            partition=part, linguistic=ling, ling_weights=ling_weights,
+            db_split=db.feats_split, interpret=pallas_interpret)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling,
@@ -158,7 +162,7 @@ def synth_pipeline_step(
 
 @functools.partial(jax.jit, static_argnames=(
     "n_cand", "chunk", "use_pallas", "mm_precision", "multivoice",
-    "max_frag", "out_len", "taper"))
+    "max_frag", "out_len", "taper", "pallas_interpret"))
 def _streaming_step(
     db: DeviceDB,
     targets: jax.Array,      # (T, D) unit-rate targets (padded)
@@ -176,6 +180,7 @@ def _streaming_step(
     max_frag: int,
     out_len: int,
     taper: int,
+    pallas_interpret: bool = False,
 ):
     """One streaming-decode step, fully on device: preselect + greedy decode
     with an incoming join context + chunk OLA.  Returns (unit ids (T,),
@@ -191,15 +196,14 @@ def _streaming_step(
     live = jnp.arange(T, dtype=jnp.int32) < length
     tw = jnp.where(live[:, None], tw, 0.0)
     part = (tgt_codes, db.vids) if multivoice else None
-    from snickery_tpu.const import PRESELECT_MARGIN
-    margin = (PRESELECT_MARGIN
-              if use_pallas and mm_precision != "highest" else 0)
+    margin = preselect_margin(use_pallas, mm_precision)
     k_sel = min(n_cand + margin, db.feats.shape[0])
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
             tw, db.feats, k=k_sel, mm_precision=mm_precision, sort=False,
-            partition=part)
+            partition=part, db_split=db.feats_split,
+            interpret=pallas_interpret)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, partition=part)
@@ -281,8 +285,11 @@ class Synthesiser:
         import math
         self.chunk = (8192 if m >= 8192
                       else utils.next_multiple(m, cfg.db_pad_multiple))
-        # rows must divide both the XLA scan chunk and the pallas kernel CHUNK
-        pad_unit = math.lcm(self.chunk, _P_CHUNK) if cfg.use_pallas else self.chunk
+        # rows must divide both the XLA scan chunk and the pallas kernel
+        # CHUNK — and with a sharded DB every per-shard slice must too, so
+        # the pallas pad unit scales by mesh_db
+        pad_unit = (math.lcm(self.chunk, _P_CHUNK * max(1, cfg.mesh_db))
+                    if cfg.use_pallas else self.chunk)
         mp = utils.next_multiple(m, pad_unit)
         self.n_units = m
         self.n_units_padded = mp
@@ -338,6 +345,11 @@ class Synthesiser:
             ctx=put(ctx_arr),
             vids=put(vids_arr),
         )
+        if cfg.use_pallas and cfg.preselect_precision == "split3cat":
+            # one-time DB-side split3cat operand (see ops.pallas_topk)
+            from snickery_tpu.ops.pallas_topk import split3cat_db
+            self.device_db = self.device_db._replace(
+                feats_split=jax.jit(split3cat_db)(self.device_db.feats))
         self.d_lf0 = put(np.pad(db.unit_lf0.astype(np.float32), ((0, mp - m), (0, 0))))
         # static OLA geometry
         spans = (db.cutpoints[:, 2] - db.cutpoints[:, 1]).astype(np.int64)
@@ -371,9 +383,17 @@ class Synthesiser:
 
     # --------------------------------------------------------------- pipeline
     def _use_pallas(self) -> bool:
+        # cfg.use_pallas may be True/False or the string "interpret": the
+        # latter forces the Pallas path in interpret mode on ANY backend so
+        # CPU test runs exercise the real kernel code (slow; tests only)
         import jax as _jax
-        return (self.cfg.use_pallas
+        if self.cfg.use_pallas == "interpret":
+            return True
+        return (bool(self.cfg.use_pallas)
                 and _jax.default_backend() not in ("cpu",))
+
+    def _pallas_interpret(self) -> bool:
+        return self.cfg.use_pallas == "interpret"
 
     def _ling_weights(self) -> tuple:
         cfg = self.cfg
@@ -407,6 +427,7 @@ class Synthesiser:
             use_pallas=use_pallas, mm_precision=cfg.preselect_precision,
             multivoice=self.is_multivoice,
             ling_weights=self._ling_weights(),
+            pallas_interpret=self._pallas_interpret(),
         )
 
     # ----------------------------------------------------------------- public
@@ -540,7 +561,9 @@ class Synthesiser:
                 ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
                 part=ddb.vids if self.is_multivoice else None,
                 codes=ddb.codes if halfphone else None,
-                ctx=ddb.ctx if halfphone else None)
+                ctx=ddb.ctx if halfphone else None,
+                split3cat=(cfg.use_pallas
+                           and cfg.preselect_precision == "split3cat"))
         out_len = utils.next_multiple(
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
         voice_ids = None
@@ -561,7 +584,8 @@ class Synthesiser:
                 use_pallas=self._use_pallas(),
                 mm_precision=cfg.preselect_precision,
                 halfphone=halfphone,
-                ling_weights=self._ling_weights()))
+                ling_weights=self._ling_weights(),
+                pallas_interpret=self._pallas_interpret()))
         results = []
         for b in range(B):
             n = int(lengths[b])
@@ -670,7 +694,8 @@ class Synthesiser:
                 mm_precision=cfg.preselect_precision,
                 multivoice=self.is_multivoice,
                 max_frag=self.max_frag, out_len=out_len,
-                taper=cfg.taper_length)
+                taper=cfg.taper_length,
+                pallas_interpret=self._pallas_interpret())
             if pending is not None:
                 yield finish(pending)
             pending = (unit_ids, audio, total, t_units)

@@ -288,16 +288,21 @@ def test_epoch_agreement_vs_oracle_split3cat(epoch_voice):
     """Same held-out-target agreement gate through the bf16-split ranking
     path (preselect_precision=split3cat): the exact-f32 candidate rescoring
     + PRESELECT_MARGIN must keep unit sequences oracle-faithful even though
-    the kernel ranks with ~1e-3-error matmuls."""
+    the kernel ranks with ~1e-3-error matmuls.
+
+    use_pallas="interpret" forces the REAL Pallas kernel (interpret mode)
+    on the CPU test backend — without it _use_pallas() is False on CPU and
+    this test would silently exercise only the exact XLA fallback."""
     from tests.toyvoice import prepare_toy_utts
     cfg, db, utts, synth = epoch_voice
     utt = prepare_toy_utts(1, seed0=901)[0]
-    old = cfg.preselect_precision
+    old = (cfg.preselect_precision, cfg.use_pallas)
     cfg.preselect_precision = "split3cat"
+    cfg.use_pallas = "interpret"
     try:
         result = synth.synth_from_features(utt.features)
     finally:
-        cfg.preselect_precision = old
+        cfg.preselect_precision, cfg.use_pallas = old
     ids_tpu = result["unit_ids"]
 
     tgt_units, t_units = synth.targets_from_features(utt.features)
