@@ -321,20 +321,29 @@ def run_toy_mode(args, extra: dict):
         lambda: build_voicedb(cfg, make_corpus(50, 40, 70_000, False)),
         cfg, args.rebuild)
     synth = Synthesiser(cfg, db=db)
-    feats, _, _ = held_out_features(3, 32, seed0=95_000)
+    feats, ref_waves, _ = held_out_features(3, 32, seed0=95_000)
     synth.synth_from_features(feats[0])          # compile
-    times = []
+    times, results = [], []
     for i in range(6):
         t0 = time.time()
         r = synth.synth_from_features(feats[i % len(feats)])
         times.append(time.time() - t0)
+        if i < len(feats):
+            results.append(r)
     lat = float(np.median(times)) * 1e3
     audio_s = len(r["wave"]) / SR
+    # objective quality vs the held-out ORIGINALS (targets not in the DB —
+    # this measures generalisation, not corpus playback; the reference
+    # validated quality by listening tests, SURVEY.md §4)
+    from snickery_tpu.evaluate import mel_cepstral_distortion
+    mcds = [mel_cepstral_distortion(r["wave"], w, SR)
+            for r, w in zip(results, ref_waves)]
+    mcd = float(np.nanmean(mcds))
     log(f"config1 toy voice ({db.n_units} units, ~5 min speech): "
         f"{lat:.0f} ms median per-utterance latency for ~{audio_s:.1f}s "
-        f"audio (public API incl. host round trip)")
+        f"audio (public API incl. host round trip); held-out MCD {mcd:.2f} dB")
     extra["config1"] = {"latency_ms": lat, "n_units": db.n_units,
-                        "audio_sec": audio_s}
+                        "audio_sec": audio_s, "held_out_mcd_db": mcd}
 
 
 # ----------------------------------------------------- config #3, multiepoch=2

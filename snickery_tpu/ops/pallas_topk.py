@@ -113,10 +113,14 @@ def split3cat_db(db):
     """DB-side split3cat operand: [db_hi | db_hi | db_lo], bf16, K padded to
     a 128 multiple.  hi.hi + hi.lo + lo.hi == this . [tgt_hi|tgt_lo|tgt_hi].
 
-    PRECOMPUTE this once per voice (Synthesiser does, at DB-prep time) and
-    pass it as ``db_split=``: the cast/concat over the full DB would
-    otherwise rematerialise a ~1 GB bf16 transient inside every jitted
-    synthesis step at 1M-unit scale."""
+    Always computed INSIDE the kernel-wrapper jit (a ~3 ms elementwise pass
+    at 1M units).  Precomputing it outside and passing the bf16 array as a
+    jit parameter was tried and REVERTED: on this jax/libtpu the kernel
+    reads scrambled values from large bf16 parameter arrays at the Pallas
+    custom-call boundary (bit-identical operand values, val maxdiff ~500 vs
+    the in-jit transform; correct under interpret mode on CPU) — suspected
+    bf16 parameter tiling mismatch.  Do not reintroduce without a
+    compiled-vs-interpret check at full scale."""
     db_hi, db_lo = _bf16_split(db)
     return _cat128([db_hi, db_hi, db_lo])
 
@@ -372,9 +376,6 @@ def pallas_topk_preselect(
                                      # per chunk — measured 1.15-1.2x faster
                                      # than "phase" on real data) | "phase"
                                      # (per-phase bai/mask/remaining passes)
-    db_split: jax.Array | None = None,  # precomputed split3cat_db(db) —
-                                     # avoids rematerialising the bf16 cat
-                                     # operand per call (split3cat only)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -406,10 +407,8 @@ def pallas_topk_preselect(
     sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk, 1)
     if mm_precision == "split3cat":
         targets = _split3cat_targets(targets)
-        db = split3cat_db(db) if db_split is None else db_split
+        db = split3cat_db(db)
         d = targets.shape[1]
-        assert db.shape == (M, d), (
-            f"db_split shape {db.shape} != expected {(M, d)}")
     has_part = partition is not None
     has_ling = linguistic is not None
 

@@ -50,19 +50,13 @@ class ShardedVoice(NamedTuple):
                           # (all-zero for single-voice DBs)
     codes: jax.Array      # (Mp,) halfphone codes, row-sharded (zeros epoch mode)
     ctx: jax.Array        # (Mp, 5) quinphone codes, row-sharded
-    feats_split: jax.Array | None = None  # precomputed split3cat operand
-                                          # (bf16, row-sharded; only when
-                                          # preselect_precision=split3cat)
 
 
 def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
-                sqrt_wt, part=None, codes=None, ctx=None,
-                split3cat: bool = False) -> ShardedVoice:
+                sqrt_wt, part=None, codes=None, ctx=None) -> ShardedVoice:
     """Place padded DB arrays onto the mesh with the layout above.
 
     ``feats`` must have rows divisible by the db-axis size.
-    ``split3cat``: also precompute the bf16 K-concatenated preselect operand
-    (ops.pallas_topk.split3cat_db), row-sharded like ``feats``.
     """
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P("db", None))
@@ -70,10 +64,6 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
     put = jax.device_put
     mp = np.shape(feats)[0]
     feats_dev = put(jnp.asarray(feats, jnp.float32), rows)
-    feats_split = None
-    if split3cat:
-        from snickery_tpu.ops.pallas_topk import split3cat_db
-        feats_split = jax.jit(split3cat_db, out_shardings=rows)(feats_dev)
     return ShardedVoice(
         feats=feats_dev,
         jl=put(jnp.asarray(jl, jnp.float32), repl),
@@ -93,7 +83,6 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
         ctx=put(jnp.asarray(
             ctx if ctx is not None else np.zeros((mp, 5), np.int32),
             jnp.int32), rows),
-        feats_split=feats_split,
     )
 
 
@@ -102,7 +91,7 @@ def _select_decode_batch(
     targets, lengths, voice_ids, tgt_codes, tgt_ctx,
     *, n_cand, chunk, jcw, eps, db_axis, use_pallas=False, multivoice=False,
     mm_precision="highest", halfphone=False, ling_weights=None,
-    feats_split_shard=None, pallas_interpret=False,
+    pallas_interpret=False,
 ):
     """Batched selection on one device: the whole local batch's target frames
     are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
@@ -145,7 +134,7 @@ def _select_decode_batch(
         idx_local, scores_local = pallas_topk_preselect(
             tw_k, feats_shard, k=k_local, mm_precision=mm_precision, sort=False,
             partition=part, linguistic=ling_k, ling_weights=ling_weights,
-            db_split=feats_split_shard, interpret=pallas_interpret)
+            interpret=pallas_interpret)
         if pad:
             idx_local = idx_local[:rows]
             scores_local = scores_local[:rows]
@@ -245,14 +234,7 @@ def batched_synth_step(
     if tgt_ctx is None:
         tgt_ctx = jnp.zeros((B, T, 5), jnp.int32)
 
-    # precomputed split3cat DB operand: sharded like feats when present; a
-    # feats alias otherwise (ignored inside — keeps the shard_map signature
-    # static without a dummy allocation)
-    has_split = (use_pallas and mm_precision == "split3cat"
-                 and voice.feats_split is not None)
-    split_operand = voice.feats_split if has_split else voice.feats
-
-    def shard_fn(feats_shard, split_shard, jl, jr, cut1, cut2, waves,
+    def shard_fn(feats_shard, jl, jr, cut1, cut2, waves,
                  mean_t, std_t,
                  sqrt_wt, part_shard, codes_shard, ctx_shard,
                  tgt_local, len_local, vid_local, tcodes_local, tctx_local,
@@ -268,7 +250,6 @@ def batched_synth_step(
             use_pallas=use_pallas, multivoice=multivoice,
             mm_precision=mm_precision, halfphone=halfphone,
             ling_weights=ling_weights,
-            feats_split_shard=(split_shard if has_split else None),
             pallas_interpret=pallas_interpret)
 
         def ola_one(ids, len_one):
@@ -284,7 +265,6 @@ def batched_synth_step(
         mesh=mesh,
         in_specs=(
             P("db", None),            # feats
-            P("db", None),            # feats_split (or feats alias)
             P(), P(),                 # jl, jr
             P(), P(), P(),            # cut1, cut2, waves
             P(), P(), P(),            # mean_t, std_t, sqrt_wt
@@ -305,7 +285,7 @@ def batched_synth_step(
             P("data"),                # total samples
         ),
         check_vma=False,
-    )(voice.feats, split_operand, voice.jl, voice.jr, voice.cut1, voice.cut2,
+    )(voice.feats, voice.jl, voice.jr, voice.cut1, voice.cut2,
       voice.waves, voice.mean_t, voice.std_t, voice.sqrt_wt, voice.part,
       voice.codes, voice.ctx,
       targets, lengths, voice_ids, tgt_codes, tgt_ctx, jcw, eps)

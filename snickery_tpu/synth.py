@@ -60,9 +60,6 @@ class DeviceDB(NamedTuple):
     codes: jax.Array        # (Mp,)  halfphone codes (zeros in epoch mode)
     ctx: jax.Array          # (Mp, 5) quinphone codes
     vids: jax.Array         # (Mp,)  voice ids (zeros for single-voice DBs)
-    feats_split: jax.Array | None = None  # precomputed split3cat_db(feats)
-                                          # (bf16 (Mp, pad128(3D)); only when
-                                          # preselect_precision=split3cat)
 
 
 @functools.partial(
@@ -119,7 +116,7 @@ def synth_pipeline_step(
         cand_idx, scores = pallas_topk_preselect(
             tw, db.feats, k=k_sel, mm_precision=mm_precision, sort=False,
             partition=part, linguistic=ling, ling_weights=ling_weights,
-            db_split=db.feats_split, interpret=pallas_interpret)
+            interpret=pallas_interpret)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling,
@@ -202,8 +199,7 @@ def _streaming_step(
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
             tw, db.feats, k=k_sel, mm_precision=mm_precision, sort=False,
-            partition=part, db_split=db.feats_split,
-            interpret=pallas_interpret)
+            partition=part, interpret=pallas_interpret)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.feats, k=n_cand, chunk=chunk, partition=part)
@@ -345,11 +341,6 @@ class Synthesiser:
             ctx=put(ctx_arr),
             vids=put(vids_arr),
         )
-        if cfg.use_pallas and cfg.preselect_precision == "split3cat":
-            # one-time DB-side split3cat operand (see ops.pallas_topk)
-            from snickery_tpu.ops.pallas_topk import split3cat_db
-            self.device_db = self.device_db._replace(
-                feats_split=jax.jit(split3cat_db)(self.device_db.feats))
         self.d_lf0 = put(np.pad(db.unit_lf0.astype(np.float32), ((0, mp - m), (0, 0))))
         # static OLA geometry
         spans = (db.cutpoints[:, 2] - db.cutpoints[:, 1]).astype(np.int64)
@@ -561,9 +552,7 @@ class Synthesiser:
                 ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
                 part=ddb.vids if self.is_multivoice else None,
                 codes=ddb.codes if halfphone else None,
-                ctx=ddb.ctx if halfphone else None,
-                split3cat=(cfg.use_pallas
-                           and cfg.preselect_precision == "split3cat"))
+                ctx=ddb.ctx if halfphone else None)
         out_len = utils.next_multiple(
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
         voice_ids = None
