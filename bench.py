@@ -647,7 +647,11 @@ def main(argv=None) -> int:
     ap.add_argument("--hp-units", type=int, default=50_000)
     ap.add_argument("--mv-units", type=int, default=262_144)
     ap.add_argument("--mv-batch", type=int, default=64)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32,
+                    help="utterances per batched step (config #3 is batched "
+                         "multi-utterance synthesis; larger batches amortise "
+                         "the ~40 ms fixed per-step overhead — measured RTF "
+                         "0.00167-0.00179 at B=8, 0.00157 at B=32)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--stream-chunk", type=int, default=32,
                     help="epoch units per streaming chunk")
