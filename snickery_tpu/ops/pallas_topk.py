@@ -130,38 +130,12 @@ def _split3cat_targets(targets):
     return _cat128([tgt_hi, tgt_lo, tgt_hi])
 
 
-def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
-                 has_ling: bool, ling_weights: tuple,
-                 t_tile: int, chunk: int, block: int, db_major: bool,
-                 select: str, *refs):
-    nb = chunk // block
-    refs = list(refs)
-    tgt_ref, db_ref, sqn_ref = refs[:3]
-    refs = refs[3:]
-    tpart_ref = dpart_ref = tling_ref = dling_ref = None
-    if has_part:
-        tpart_ref, dpart_ref = refs[:2]
-        refs = refs[2:]
-    if has_ling:
-        tling_ref, dling_ref = refs[:2]
-        refs = refs[2:]
-    out_vals_ref, out_cols_ref, state_vals, state_cols = refs
-    if db_major:
-        # grid (n_chunks, n_tiles): the DB streams from HBM exactly ONCE
-        # (670 MB at the 1M-unit bench vs once per tile = 43 GB); per-tile
-        # running states live in one full-width VMEM scratch, sliced at the
-        # (256-aligned) tile offset.
-        j = pl.program_id(0)                 # chunk index (outer)
-        sl = pl.ds(pl.program_id(1) * t_tile, t_tile)
-    else:
-        j = pl.program_id(1)                 # chunk index (inner)
-        sl = slice(None)
-
-    @pl.when(j == 0)
-    def _():
-        state_vals[:, sl] = jnp.full((k, t_tile), jnp.inf, jnp.float32)
-        state_cols[:, sl] = jnp.zeros((k, t_tile), jnp.int32)
-
+def _compute_scores(mm_precision, has_part, has_ling, ling_weights,
+                    tgt_ref, db_ref, sqn_ref,
+                    tpart_ref, dpart_ref, tling_ref, dling_ref):
+    """Distance scores (CHUNK, T_TILE) for one (db-chunk, target-tile) pair:
+    matmul + ||u||^2 constant + optional fused partition masks / quinphone
+    penalties."""
     tgt = tgt_ref[:]                                   # (T_TILE, d)
     db = db_ref[:]                                     # (CHUNK, d)
     if mm_precision == "split3":
@@ -201,7 +175,99 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
                 continue
             mism = (dl[:, c + 1:c + 2] != tl[c + 1:c + 2, :])
             s = s + jnp.float32(w * scale) * mism.astype(jnp.float32)
+    return s
 
+
+def _stream_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
+    """Streaming-pick exact selection over one folded score chunk (see the
+    module docstring).  Returns the updated (k, t_tile) state."""
+    iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
+    iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, t_tile), 0)
+    iota_blk2 = jax.lax.broadcasted_iota(jnp.int32, (block, t_tile), 0)
+    bm0 = jnp.min(fold, axis=1)                                # (NB, T)
+    xm0 = jnp.full((nb, t_tile), -jnp.inf, jnp.float32)        # last-extracted value
+    xr0 = jnp.full((nb, t_tile), -1, jnp.int32)                # last-extracted row
+
+    def spick_cond(st):
+        it, wbm, xm, xr, sv, sc = st
+        worst = jnp.max(sv, axis=0)                            # (T,)
+        return jnp.logical_and(
+            it < k, jnp.any(jnp.min(wbm, axis=0) < worst))
+
+    def spick_body(st):
+        it, wbm, xm, xr, sv, sc = st
+        m, b = _first_argmin_cols(wbm, iota0_nb, nb)           # (T,), (T,)
+        onehot = iota0_nb == b[None, :]                        # (NB, T)
+        # gather the picked block's scores: (BLOCK, T) — THE full-fold
+        # pass of this iteration (inf-safe: min-select, the fold may
+        # hold inf partition masks)
+        blk = jnp.min(jnp.where(onehot[:, None, :], fold, jnp.inf),
+                      axis=0)                                  # (BLOCK, T)
+        # mask the block's already-extracted prefix (lex <= (xm_b, xr_b))
+        xm_b = jnp.sum(jnp.where(onehot, xm, 0.0), axis=0)     # (T,)
+        xr_b = jnp.sum(jnp.where(onehot, xr, 0), axis=0)       # (T,)
+        gone = (blk < xm_b[None, :]) | (
+            (blk == xm_b[None, :]) & (iota_blk2 <= xr_b[None, :]))
+        blk = jnp.where(gone, jnp.inf, blk)
+        mi = jnp.min(jnp.where(blk == m[None, :], iota_blk2, block),
+                     axis=0).astype(jnp.int32)                 # (T,)
+        col = b * block + mi + base_col
+        worst = jnp.max(sv, axis=0)
+        wslot = jnp.min(jnp.where(sv == worst[None, :], iota_k0, k),
+                        axis=0)                                # (T,)
+        better = m < worst
+        put = (iota_k0 == wslot[None, :]) & better[None, :]
+        sv = jnp.where(put, m[None, :], sv)
+        sc = jnp.where(put, col[None, :], sc)
+        # advance the extraction threshold and refresh the block's min
+        m2 = jnp.min(jnp.where((blk == m[None, :])
+                               & (iota_blk2 <= mi[None, :]),
+                               jnp.inf, blk), axis=0)          # (T,)
+        wbm = jnp.where(onehot, m2[None, :], wbm)
+        xm = jnp.where(onehot, m[None, :], xm)
+        xr = jnp.where(onehot, mi[None, :], xr)
+        return (it + 1, wbm, xm, xr, sv, sc)
+
+    _, _, _, _, res_v, res_c = jax.lax.while_loop(
+        spick_cond, spick_body, (jnp.int32(0), bm0, xm0, xr0, sv0, sc0))
+    return res_v, res_c
+
+
+def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
+                 has_ling: bool, ling_weights: tuple,
+                 t_tile: int, chunk: int, block: int, db_major: bool,
+                 select: str, *refs):
+    nb = chunk // block
+    refs = list(refs)
+    tgt_ref, db_ref, sqn_ref = refs[:3]
+    refs = refs[3:]
+    tpart_ref = dpart_ref = tling_ref = dling_ref = None
+    if has_part:
+        tpart_ref, dpart_ref = refs[:2]
+        refs = refs[2:]
+    if has_ling:
+        tling_ref, dling_ref = refs[:2]
+        refs = refs[2:]
+    out_vals_ref, out_cols_ref, state_vals, state_cols = refs
+    if db_major:
+        # grid (n_chunks, n_tiles): the DB streams from HBM exactly ONCE
+        # (670 MB at the 1M-unit bench vs once per tile = 43 GB); per-tile
+        # running states live in one full-width VMEM scratch, sliced at the
+        # (256-aligned) tile offset.
+        j = pl.program_id(0)                 # chunk index (outer)
+        sl = pl.ds(pl.program_id(1) * t_tile, t_tile)
+    else:
+        j = pl.program_id(1)                 # chunk index (inner)
+        sl = slice(None)
+
+    @pl.when(j == 0)
+    def _():
+        state_vals[:, sl] = jnp.full((k, t_tile), jnp.inf, jnp.float32)
+        state_cols[:, sl] = jnp.zeros((k, t_tile), jnp.int32)
+
+    s = _compute_scores(mm_precision, has_part, has_ling, ling_weights,
+                        tgt_ref, db_ref, sqn_ref,
+                        tpart_ref, dpart_ref, tling_ref, dling_ref)
     folded = s.reshape(nb, block, t_tile)              # free leading-dim split
     iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
     iota3_blk = jax.lax.broadcasted_iota(jnp.int32, (nb, block, t_tile), 1)
@@ -209,66 +275,10 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
     base_col = j * chunk
 
     if select == "stream":
-        # Streaming-pick selection: ONE loop, no phase nest.  wbm (NB, T)
-        # holds each block's EXACT current min over its UNEXTRACTED
-        # elements, so `no block beats the row's worst kept` is an exact
-        # termination test — the bai / mask3 / remaining full-fold passes
-        # of the phase design vanish.  Extraction within a block proceeds
-        # in (value, row) lexicographic ascending order, so the set of
-        # extracted elements is exactly {(v, r) lex<= (xm, xr)} and the
-        # fold never needs a mask write: the fold is LOOP-INVARIANT and
-        # each pick costs ONE full-fold pass (the picked-block gather) +
-        # cheap (NB,T)/(BLOCK,T) ops.  Constant per-chunk cost is the
-        # single initial per-block-min pass.
-        iota_blk2 = jax.lax.broadcasted_iota(jnp.int32, (block, t_tile), 0)
-        bm0 = jnp.min(folded, axis=1)                              # (NB, T)
-        xm0 = jnp.full((nb, t_tile), -jnp.inf, jnp.float32)        # last-extracted value
-        xr0 = jnp.full((nb, t_tile), -1, jnp.int32)                # last-extracted row
-
-        def spick_cond(st):
-            it, wbm, xm, xr, sv, sc = st
-            worst = jnp.max(sv, axis=0)                            # (T,)
-            return jnp.logical_and(
-                it < k, jnp.any(jnp.min(wbm, axis=0) < worst))
-
-        def spick_body(st):
-            it, wbm, xm, xr, sv, sc = st
-            m, b = _first_argmin_cols(wbm, iota0_nb, nb)           # (T,), (T,)
-            onehot = iota0_nb == b[None, :]                        # (NB, T)
-            # gather the picked block's scores: (BLOCK, T) — THE full-fold
-            # pass of this iteration (inf-safe: min-select, the fold may
-            # hold inf partition masks)
-            blk = jnp.min(jnp.where(onehot[:, None, :], folded, jnp.inf),
-                          axis=0)                                  # (BLOCK, T)
-            # mask the block's already-extracted prefix (lex <= (xm_b, xr_b))
-            xm_b = jnp.sum(jnp.where(onehot, xm, 0.0), axis=0)     # (T,)
-            xr_b = jnp.sum(jnp.where(onehot, xr, 0), axis=0)       # (T,)
-            gone = (blk < xm_b[None, :]) | (
-                (blk == xm_b[None, :]) & (iota_blk2 <= xr_b[None, :]))
-            blk = jnp.where(gone, jnp.inf, blk)
-            mi = jnp.min(jnp.where(blk == m[None, :], iota_blk2, block),
-                         axis=0).astype(jnp.int32)                 # (T,)
-            col = b * block + mi + base_col
-            worst = jnp.max(sv, axis=0)
-            wslot = jnp.min(jnp.where(sv == worst[None, :], iota_k0, k),
-                            axis=0)                                # (T,)
-            better = m < worst
-            put = (iota_k0 == wslot[None, :]) & better[None, :]
-            sv = jnp.where(put, m[None, :], sv)
-            sc = jnp.where(put, col[None, :], sc)
-            # advance the extraction threshold and refresh the block's min
-            m2 = jnp.min(jnp.where((blk == m[None, :])
-                                   & (iota_blk2 <= mi[None, :]),
-                                   jnp.inf, blk), axis=0)          # (T,)
-            wbm = jnp.where(onehot, m2[None, :], wbm)
-            xm = jnp.where(onehot, m[None, :], xm)
-            xr = jnp.where(onehot, mi[None, :], xr)
-            return (it + 1, wbm, xm, xr, sv, sc)
-
-        _, _, _, _, res_v, res_c = jax.lax.while_loop(
-            spick_cond, spick_body,
-            (jnp.int32(0), bm0, xm0, xr0,
-             state_vals[:, sl], state_cols[:, sl]))
+        # Streaming-pick selection (see module docstring and _stream_select).
+        res_v, res_c = _stream_select(
+            folded, state_vals[:, sl], state_cols[:, sl], base_col,
+            k, nb, block, t_tile)
         state_vals[:, sl] = res_v
         state_cols[:, sl] = res_c
 
@@ -412,31 +422,17 @@ def pallas_topk_preselect(
     has_part = partition is not None
     has_ling = linguistic is not None
 
-    # index helpers: `ti` selects the target-tile grid axis, `ci` the chunk
-    # axis — in db_major order the chunk axis is OUTER (axis 0)
-    if db_major:
-        ti = lambda i, j: j
-        ci = lambda i, j: i
-    else:
-        ti = lambda i, j: i
-        ci = lambda i, j: j
-    in_specs = [
-        pl.BlockSpec((t_tile, d), lambda i, j: (ti(i, j), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((chunk, d), lambda i, j: (ci(i, j), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, chunk, 1), lambda i, j: (ci(i, j), 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    # operand plan: each entry is (block_shape, kind) with kind "t" (indexed
+    # by the target-tile axis) or "c" (indexed by the db-chunk axis); the
+    # actual index maps are built per grid layout below
+    spec_plan = [((t_tile, d), "t"), ((chunk, d), "c"), ((1, chunk, 1), "c")]
     operands = [targets, db, sqn]
     if has_part:
         tgt_part, db_part = partition
         operands.append(tgt_part.astype(jnp.int32).reshape(T // t_tile, 1, t_tile))
         operands.append(db_part.astype(jnp.int32).reshape(n_chunks, chunk, 1))
-        in_specs.append(pl.BlockSpec((1, 1, t_tile), lambda i, j: (ti(i, j), 0, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, chunk, 1), lambda i, j: (ci(i, j), 0, 0),
-                                     memory_space=pltpu.VMEM))
+        spec_plan.append(((1, 1, t_tile), "t"))
+        spec_plan.append(((1, chunk, 1), "c"))
     if has_ling:
         if ling_weights is None:
             from snickery_tpu.const import QUINPHONE_CONTEXT_WEIGHTS, QUINPHONE_SCALE
@@ -451,35 +447,54 @@ def pallas_topk_preselect(
             [db_codes.astype(jnp.int32)[:, None], db_ctx.astype(jnp.int32),
              jnp.zeros((M, 2), jnp.int32)], axis=1).reshape(n_chunks, chunk, 8)
         operands.extend([tl, dl])
-        in_specs.append(pl.BlockSpec((1, 8, t_tile), lambda i, j: (ti(i, j), 0, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, chunk, 8), lambda i, j: (ci(i, j), 0, 0),
-                                     memory_space=pltpu.VMEM))
+        spec_plan.append(((1, 8, t_tile), "t"))
+        spec_plan.append(((1, chunk, 8), "c"))
     else:
         ling_weights = ()
 
+    def make_specs(idx_t, idx_c):
+        specs = []
+        for shape, kind in spec_plan:
+            f = idx_t if kind == "t" else idx_c
+            z = (0,) * (len(shape) - 1)
+            specs.append(pl.BlockSpec(
+                shape, (lambda f=f, z=z: lambda *g: (f(*g),) + z)(),
+                memory_space=pltpu.VMEM))
+        return specs
+
+    n_tiles = T // t_tile
+    # index helpers: `ti` selects the target-tile grid axis, `ci` the
+    # chunk axis — in db_major order the chunk axis is OUTER (axis 0)
+    if db_major:
+        ti = lambda i, j: j
+        ci = lambda i, j: i
+    else:
+        ti = lambda i, j: i
+        ci = lambda i, j: j
+    in_specs = make_specs(ti, ci)
+    out_map = lambda i, j: (0, ti(i, j))
     kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
                                has_part, has_ling, ling_weights,
                                t_tile, chunk, block, db_major, select)
-    grid = ((n_chunks, T // t_tile) if db_major else (T // t_tile, n_chunks))
+    grid = ((n_chunks, n_tiles) if db_major else (n_tiles, n_chunks))
+    scratch_shapes = [
+        pltpu.VMEM((k, T if db_major else t_tile), jnp.float32),
+        pltpu.VMEM((k, T if db_major else t_tile), jnp.int32),
+    ]
+
     vals, cols = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((k, t_tile), lambda i, j: (0, ti(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, t_tile), lambda i, j: (0, ti(i, j)),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, t_tile), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, t_tile), out_map, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((k, T), jnp.float32),
             jax.ShapeDtypeStruct((k, T), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((k, T if db_major else t_tile), jnp.float32),
-            pltpu.VMEM((k, T if db_major else t_tile), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
