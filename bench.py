@@ -339,11 +339,21 @@ def run_toy_mode(args, extra: dict):
     mcds = [mel_cepstral_distortion(r["wave"], w, SR)
             for r, w in zip(results, ref_waves)]
     mcd = float(np.nanmean(mcds))
+    # scale anchor: a TRAINING utterance rides the natural zero-join path
+    # and reconstructs the corpus nearly sample-exactly — its MCD is the
+    # floor of the metric on this voice, calibrating the held-out number
+    from snickery_tpu.features.epochs import detect_epochs
+    w_nat, _ = gen_utterance(70_000, 40)
+    f_nat = bulk_analyse([w_nat], [detect_epochs(w_nat, SR)])[0]
+    r_nat = synth.synth_from_features(f_nat)
+    mcd_nat = mel_cepstral_distortion(r_nat["wave"], w_nat, SR)
     log(f"config1 toy voice ({db.n_units} units, ~5 min speech): "
         f"{lat:.0f} ms median per-utterance latency for ~{audio_s:.1f}s "
-        f"audio (public API incl. host round trip); held-out MCD {mcd:.2f} dB")
+        f"audio (public API incl. host round trip); held-out MCD {mcd:.2f} dB "
+        f"(natural-reconstruction floor {mcd_nat:.2f} dB)")
     extra["config1"] = {"latency_ms": lat, "n_units": db.n_units,
-                        "audio_sec": audio_s, "held_out_mcd_db": mcd}
+                        "audio_sec": audio_s, "held_out_mcd_db": mcd,
+                        "natural_reconstruction_mcd_db": float(mcd_nat)}
 
 
 # ----------------------------------------------------- config #3, multiepoch=2
@@ -498,6 +508,40 @@ def run_halfphone_mode(args, extra: dict):
     extra["config2"] = {"rtf": rtf, "ms_per_step": wall * 1e3,
                         "n_units": db.n_units,
                         "halfphone_identity_match": float(match)}
+
+    # ---- float64-oracle agreement for the halfphone path (utterance 0) ----
+    if not args.skip_oracle:
+        from snickery_tpu import oracle
+        from snickery_tpu.const import (
+            BIG_PENALTY, QUINPHONE_CONTEXT_WEIGHTS, QUINPHONE_SCALE)
+        segs0 = segs_list[0]
+        n0 = len(feats_list[0])
+        codes_t = np.asarray(
+            [synth._unit_vocab.get(s.name, -1) for s in segs0])
+        ctx_t = np.asarray([[synth._phone_vocab.get(p, 0) for p in s.quinphone]
+                            for s in segs0])
+        pen = (codes_t[:, None] != db.unit_code[None, :]) * float(BIG_PENALTY)
+        for c, w in enumerate(QUINPHONE_CONTEXT_WEIGHTS):
+            if w:
+                pen = pen + ((ctx_t[:, c:c + 1] != db.context_codes[None, :, c])
+                             * (w * QUINPHONE_SCALE))
+        feats_w = db.normalised_features().astype(np.float32) * synth._sqrt_wt[None, :]
+        jl, jr = db.normalised_joins()
+        jl = (jl * synth._sqrt_wj[None, :]).astype(np.float32)
+        jr = (jr * synth._sqrt_wj[None, :]).astype(np.float32)
+        tw0 = ((feats_list[0] - db.mean_target) / db.std_target
+               ) * synth._sqrt_wt[None, :]
+        t0 = time.time()
+        ids_ref, _ = oracle.synth_pipeline(
+            tw0.astype(np.float32), feats_w, jl, jr,
+            n_candidates=min(cfg.n_candidates, synth.n_units_padded),
+            join_cost_weight=JCW, extra=pen)
+        ids_tpu = results[0]["unit_ids"][:n0]
+        agree_hp = float((ids_tpu == ids_ref).mean())
+        log(f"config2 agreement vs float64 oracle ({n0} halfphone targets "
+            f"@ {db.n_units} units): {agree_hp:.5f} "
+            f"(oracle ran {time.time()-t0:.0f}s)")
+        extra["config2"]["agreement_vs_f64_oracle"] = agree_hp
 
 
 # ------------------------------------------------------------ config #4 streaming
