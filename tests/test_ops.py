@@ -169,3 +169,56 @@ def test_topk_fused_linguistic_matches_dense(rng):
                     jnp.asarray(db_codes), jnp.asarray(db_ctx)))
     np.testing.assert_array_equal(np.asarray(idx_d), np.asarray(idx_f))
     np.testing.assert_allclose(np.asarray(sc_d), np.asarray(sc_f), rtol=1e-5)
+
+
+def test_fallback_partition_starved_rows_are_inf():
+    """XLA-fallback preselect masks partition mismatches with inf (like the
+    Pallas kernel) so rescoring identifies excluded slots via isinf; the
+    hierarchical top-k must RESTORE inf on output (it clamps internally to
+    a finite sentinel because 0 * inf = NaN in its one-hot MXU extraction)."""
+    import jax.numpy as jnp
+    from snickery_tpu.ops.topk import topk_preselect
+
+    rng = np.random.default_rng(40)
+    T, M, d, k = 8, 512, 16, 6
+    tgt = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    dp = np.zeros(M, np.int32)
+    dp[:3] = 2                       # only 3 units of partition 2
+    tp = np.full(T, 2, np.int32)
+    idx, vals = topk_preselect(
+        jnp.asarray(tgt), jnp.asarray(db), k=k, chunk=256,
+        partition=(jnp.asarray(tp), jnp.asarray(dp)))
+    vals = np.asarray(vals)
+    finite = np.isfinite(vals)
+    assert (finite.sum(axis=1) == 3).all(), "3 finite slots expected per row"
+    assert np.isinf(vals[~finite]).all(), "excluded slots must be inf, not a sentinel"
+    assert (np.asarray(idx)[:, :3] < 3).all(), "finite winners must be partition members"
+
+
+def test_pallas_tiling_invariance():
+    """The kernel's sorted output must be IDENTICAL across internal tilings
+    (t_tile, chunk, block) and selection modes — the canonical (value, col)
+    ordering guarantees downstream Viterbi tie-breaking can't depend on
+    kernel internals."""
+    import jax.numpy as jnp
+    from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
+
+    rng = np.random.default_rng(41)
+    T, M, d, k = 512, 4096, 24, 10
+    tgt = jnp.asarray(rng.standard_normal((T, d)).astype(np.float32))
+    db = jnp.asarray(rng.standard_normal((M, d)).astype(np.float32))
+    ref = None
+    for (tt, ch, bl, sel) in [(256, 2048, 128, "stream"),
+                              (256, 1024, 64, "stream"),
+                              (512, 4096, 256, "stream"),
+                              (256, 2048, 128, "phase")]:
+        idx, vals = pallas_topk_preselect(
+            tgt, db, k=k, interpret=True, mm_precision="highest",
+            t_tile=tt, chunk=ch, block=bl, select=sel, sort=True)
+        got = (np.asarray(idx), np.asarray(vals))
+        if ref is None:
+            ref = got
+        else:
+            np.testing.assert_array_equal(got[0], ref[0])
+            np.testing.assert_array_equal(got[1], ref[1])
