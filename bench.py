@@ -172,6 +172,19 @@ def held_out_features(n_utts: int, n_segments: int, seed0: int = 90_000):
     return bulk_analyse(waves, eps), waves, eps
 
 
+def oracle_arrays(db, synth, targets_raw):
+    """Weighted float32 arrays for oracle.synth_pipeline, using the SAME
+    normalisation + stream-weighting as the device pipeline (single source
+    for every agreement gate — config #3 epoch and config #2 halfphone)."""
+    feats_w = db.normalised_features().astype(np.float32) * synth._sqrt_wt[None, :]
+    jl, jr = db.normalised_joins()
+    jl = (jl * synth._sqrt_wj[None, :]).astype(np.float32)
+    jr = (jr * synth._sqrt_wj[None, :]).astype(np.float32)
+    tw = ((targets_raw - db.mean_target) / db.std_target
+          ) * synth._sqrt_wt[None, :]
+    return tw.astype(np.float32), feats_w, jl, jr
+
+
 def sync(out):
     """block_until_ready is a no-op on the axon async runtime; a host fetch
     of a small output is the only reliable completion barrier."""
@@ -287,14 +300,9 @@ def run_epoch_mode(args, extra: dict):
         out_o = sync(step(lengths_=lengths_o))
         ids_tpu = np.asarray(out_o[0])[0, :n_rows]
         t0 = time.time()
-        feats_w = db.normalised_features().astype(np.float32) * synth._sqrt_wt[None, :]
-        jl, jr = db.normalised_joins()
-        jl = (jl * synth._sqrt_wj[None, :]).astype(np.float32)
-        jr = (jr * synth._sqrt_wj[None, :]).astype(np.float32)
-        tw = ((tgts[0, :n_rows] - db.mean_target) / db.std_target
-              ) * synth._sqrt_wt[None, :]
+        tw, feats_w, jl, jr = oracle_arrays(db, synth, tgts[0, :n_rows])
         ids_ref, _ = oracle.synth_pipeline(
-            tw.astype(np.float32), feats_w, jl, jr,
+            tw, feats_w, jl, jr,
             n_candidates=cfg.n_candidates, join_cost_weight=JCW,
             fast_preselect=True)
         agree_o = float((ids_tpu == ids_ref).mean())
@@ -512,28 +520,25 @@ def run_halfphone_mode(args, extra: dict):
     # ---- float64-oracle agreement for the halfphone path (utterance 0) ----
     if not args.skip_oracle:
         from snickery_tpu import oracle
-        from snickery_tpu.const import (
-            BIG_PENALTY, QUINPHONE_CONTEXT_WEIGHTS, QUINPHONE_SCALE)
+        from snickery_tpu.const import BIG_PENALTY
         segs0 = segs_list[0]
         n0 = len(feats_list[0])
         codes_t = np.asarray(
             [synth._unit_vocab.get(s.name, -1) for s in segs0])
         ctx_t = np.asarray([[synth._phone_vocab.get(p, 0) for p in s.quinphone]
                             for s in segs0])
+        # the same (possibly config-overridden) penalty weights the device
+        # kernel fuses — see Synthesiser._ling_weights
+        *ctx_w, pen_scale = synth._ling_weights()
         pen = (codes_t[:, None] != db.unit_code[None, :]) * float(BIG_PENALTY)
-        for c, w in enumerate(QUINPHONE_CONTEXT_WEIGHTS):
+        for c, w in enumerate(ctx_w):
             if w:
                 pen = pen + ((ctx_t[:, c:c + 1] != db.context_codes[None, :, c])
-                             * (w * QUINPHONE_SCALE))
-        feats_w = db.normalised_features().astype(np.float32) * synth._sqrt_wt[None, :]
-        jl, jr = db.normalised_joins()
-        jl = (jl * synth._sqrt_wj[None, :]).astype(np.float32)
-        jr = (jr * synth._sqrt_wj[None, :]).astype(np.float32)
-        tw0 = ((feats_list[0] - db.mean_target) / db.std_target
-               ) * synth._sqrt_wt[None, :]
+                             * (w * pen_scale))
+        tw0, feats_w, jl, jr = oracle_arrays(db, synth, feats_list[0])
         t0 = time.time()
         ids_ref, _ = oracle.synth_pipeline(
-            tw0.astype(np.float32), feats_w, jl, jr,
+            tw0, feats_w, jl, jr,
             n_candidates=min(cfg.n_candidates, synth.n_units_padded),
             join_cost_weight=JCW, extra=pen)
         ids_tpu = results[0]["unit_ids"][:n0]

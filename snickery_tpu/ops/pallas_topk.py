@@ -269,9 +269,6 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
                         tgt_ref, db_ref, sqn_ref,
                         tpart_ref, dpart_ref, tling_ref, dling_ref)
     folded = s.reshape(nb, block, t_tile)              # free leading-dim split
-    iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
-    iota3_blk = jax.lax.broadcasted_iota(jnp.int32, (nb, block, t_tile), 1)
-    iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, t_tile), 0)
     base_col = j * chunk
 
     if select == "stream":
@@ -287,6 +284,10 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
             out_vals_ref[:] = state_vals[:, sl]
             out_cols_ref[:] = state_cols[:, sl]
         return
+
+    iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
+    iota3_blk = jax.lax.broadcasted_iota(jnp.int32, (nb, block, t_tile), 1)
+    iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, t_tile), 0)
 
     def phase_cond(carry):
         fold, res_v, res_c, phase, done = carry
