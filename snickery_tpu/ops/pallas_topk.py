@@ -10,7 +10,7 @@ Layout and algorithm (chosen against measured Mosaic/axon behaviour):
   db_tile @ targets_tile^T, so the DB axis is the LEADING dim and folding
   into BLOCK-row sub-blocks is a free leading-dim reshape (Mosaic only
   allows lane-dim splits at 128, but leading-dim splits at any
-  granularity).  BLOCK=128 rows x NB=16 blocks per CHUNK=2048 (swept on
+  granularity).  BLOCK=128 rows x NB=32 blocks per CHUNK=4096 (swept on
   real 1M-unit data, scripts/bench_topk.py).
 - Two exact selection loops (static `select` arg):
   * "phase": per phase compute per-block min + in-block argmin (constant
