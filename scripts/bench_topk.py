@@ -52,14 +52,13 @@ def cluster_order(feats: np.ndarray, n_clusters: int = 1024,
 
 
 DEFAULT_COMBOS = [
-    (256, 2048, 16),     # round-1 default
-    (512, 2048, 16),
-    (256, 4096, 16),
-    (512, 4096, 16),
-    (256, 2048, 32),
-    (256, 4096, 32),
-    (1024, 2048, 16),
-    (256, 8192, 32),
+    # current-generation tilings (block=128 era; see pallas_topk.py header)
+    (256, 4096, 128),    # default
+    (256, 2048, 128),
+    (512, 4096, 128),
+    (256, 8192, 128),
+    (256, 4096, 64),
+    (256, 4096, 256),
 ]
 
 
