@@ -44,7 +44,10 @@ DEFAULT_SAMPLE_RATE = 16000
 # per SURVEY.md §2 row 1).
 JOIN_CONTEXT_FRAMES = 1
 
-# Preselect rank margin for approximate (bf16-split) kernel precisions:
+# Preselect rank margin for approximate (bf16-split) kernel precisions.
+# Measured cost: k=40 vs k=30 kernel = 179.5 vs 169.9 ms at 16k rows x
+# 1.15M units (~4% of the full step) — cheap insurance for the ≥99%
+# agreement guarantee; do not trim without re-running the bench oracle gate.
 # the Pallas kernel RANKS with split3/split3cat matmuls (~1e-3 absolute
 # score error), so the true k-th candidate can fall just past rank k.
 # Selecting k + PRESELECT_MARGIN and keeping the exact-f32 top-k after
