@@ -107,7 +107,7 @@ def bulk_analyse(waves: list, epochs_list: list, group_epochs: int = 120_000):
 
 def make_corpus(n_utts: int, n_segments: int, seed0: int, halfphone: bool):
     """Generate + epoch-mark + analyse a corpus -> list[UtteranceData]."""
-    from snickery_tpu.features.epochs import detect_epochs, f0_from_epochs
+    from snickery_tpu.features.epochs import detect_epochs_batch, f0_from_epochs
     from snickery_tpu.voicedb.build import UtteranceData
 
     t0 = time.time()
@@ -119,7 +119,7 @@ def make_corpus(n_utts: int, n_segments: int, seed0: int, halfphone: bool):
     log(f"corpus: generated {n_utts} utts "
         f"({sum(len(w) for w in waves)/SR/60:.1f} min) in {time.time()-t0:.0f}s")
     t0 = time.time()
-    epochs_list = [detect_epochs(w, SR) for w in waves]
+    epochs_list = detect_epochs_batch(waves, SR)
     log(f"corpus: epochs detected in {time.time()-t0:.0f}s (native)")
     t0 = time.time()
     feats_list = bulk_analyse(waves, epochs_list)
@@ -163,12 +163,12 @@ def get_voice(name: str, builder, cfg, rebuild: bool):
 
 def held_out_features(n_utts: int, n_segments: int, seed0: int = 90_000):
     """Held-out target trajectories (NOT in any bench voice: disjoint seeds)."""
-    from snickery_tpu.features.epochs import detect_epochs
+    from snickery_tpu.features.epochs import detect_epochs_batch
     waves = []
     for i in range(n_utts):
         w, _ = gen_utterance(seed0 + i, n_segments)
         waves.append(w)
-    eps = [detect_epochs(w, SR) for w in waves]
+    eps = detect_epochs_batch(waves, SR)
     return bulk_analyse(waves, eps), waves, eps
 
 

@@ -16,13 +16,14 @@ from snickery_tpu.features.magphase import (
     magphase_analysis,
     magphase_synthesis,
 )
-from snickery_tpu.features.epochs import detect_epochs, f0_from_epochs
+from snickery_tpu.features.epochs import (
+    detect_epochs, detect_epochs_batch, f0_from_epochs)
 from snickery_tpu.features.smoothing import smooth_joins
 
 __all__ = [
     "frame_signal", "stft", "istft", "hann",
     "mel_filterbank", "mfcc", "log_mel_spectrogram",
     "magphase_analysis", "magphase_synthesis",
-    "detect_epochs", "f0_from_epochs",
+    "detect_epochs", "detect_epochs_batch", "f0_from_epochs",
     "smooth_joins",
 ]

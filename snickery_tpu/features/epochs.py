@@ -134,6 +134,30 @@ def detect_epochs(
     return marks_arr.astype(np.int32)
 
 
+def detect_epochs_batch(
+    waves: list,
+    sr: int,
+    n_threads: int = 8,
+    **kwargs,
+) -> list:
+    """Thread-parallel :func:`detect_epochs` over a corpus.
+
+    The native C++ detector is stateless and the ctypes foreign call
+    releases the GIL, so a thread pool scales with cores for the
+    corpus-prep pass (the REAPER-equivalent stage, SURVEY.md §2.9 — the
+    reference shells out to one REAPER process per file).  Results are
+    bit-identical to the serial loop (verified).  NOTE: the bench VM for
+    this build exposes a single CPU core (nproc=1), so no speedup is
+    observable there — the batch API exists for real multi-core prep hosts.
+    """
+    if len(waves) <= 1 or n_threads <= 1:
+        return [detect_epochs(w, sr, **kwargs) for w in waves]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        return list(ex.map(lambda w: detect_epochs(w, sr, **kwargs), waves))
+
+
 def f0_from_epochs(
     epoch_samples: np.ndarray,
     sr: int,

@@ -153,3 +153,19 @@ def test_stft_istft_reconstruction(toy_wave):
     back = np.asarray(istft(spec, 512, 128, len(wave)))
     err = np.abs(back[512:-512] - wave[512:-512]).max()
     assert err < 1e-3, f"iSTFT reconstruction err {err}"
+
+
+def test_detect_epochs_batch_matches_serial():
+    """Thread-parallel corpus epoch detection is bit-identical to the
+    serial loop (the native detector is stateless)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from toyvoice import synth_utterance
+    from snickery_tpu.features.epochs import detect_epochs, detect_epochs_batch
+
+    waves = [synth_utterance(600 + i, n_segments=6)[0] for i in range(5)]
+    serial = [detect_epochs(w, 16000) for w in waves]
+    par = detect_epochs_batch(waves, 16000, n_threads=4)
+    assert len(par) == len(serial)
+    for a, b in zip(serial, par):
+        np.testing.assert_array_equal(a, b)
