@@ -28,7 +28,6 @@ geometry are realistic; VERDICT round 1, weak #1).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -552,7 +551,6 @@ def run_halfphone_mode(args, extra: dict):
 # ------------------------------------------------------------ config #4 streaming
 def run_streaming_mode(args, extra: dict, synth):
     """Streaming latency on the 1M-unit voice: per-chunk wall time."""
-    import dataclasses as dc
     cfg = synth.cfg
     old_buckets = cfg.length_buckets
     cfg.length_buckets = [64]        # small chunks -> small compiled step
