@@ -45,11 +45,26 @@ class SnickeryConfig:
 
     # ---- selection ----
     n_candidates: int = 30
-    preselection_method: str = "acoustic"   # "acoustic" | "quinphone"
+    # Candidate preselection mode:
+    #   ""                  auto: "quinphone" for halfphone voices, "acoustic"
+    #                       for epoch/sample voices
+    #   "acoustic"          pure nearest-neighbour over target features; no
+    #                       linguistic penalties even for halfphone voices
+    #   "quinphone"         graded quinphone-mismatch penalties fused into the
+    #                       preselect ranking (halfphone voices only)
+    #   "quinphone_backoff" strict back-off tiers: exact-quinphone candidates
+    #                       outrank ALL triphone-only matches, which outrank
+    #                       all remaining same-halfphone units, regardless of
+    #                       acoustic distance (halfphone voices only)
+    preselection_method: str = ""
     target_stream_weights: list[float] = field(default_factory=lambda: [1.0])
     join_stream_weights: list[float] = field(default_factory=lambda: [1.0])
     join_cost_weight: float = 1.0
-    join_cost_type: str = "natural"         # natural join contexts
+    # Join-cost distance: "natural" = weighted Euclidean between adjoining
+    # unit edge contexts (natural successors cost exactly 0); "squared" =
+    # squared Euclidean (penalises large spectral jumps quadratically and
+    # skips the sqrt — a cheaper, sharper-edged variant).
+    join_cost_type: str = "natural"
     search_epsilon: float = 0.0             # beam/epsilon pruning (0 = exact)
     greedy_search: bool = False             # greedy online selection variant
     # quinphone preselection penalties (halfphone mode); see const.py for the
@@ -58,11 +73,18 @@ class SnickeryConfig:
         default_factory=lambda: [1.0, 10.0, 0.0, 10.0, 1.0])
     quinphone_penalty_scale: float = 100.0
     magphase_use_target_f0: bool = True
+    # Extra pitch periods of window support on each side of every frame in
+    # magphase resynthesis (0 = one period each side).  Larger values trade
+    # transient sharpness for smoother joins.
     magphase_overlap: int = 0
     magphase_smooth_joins: int = 0          # frames of join smoothing (0 = off)
 
     # ---- waveform generation ----
     taper_length: int = 50                  # samples of Hann taper for OLA joins
+    # True: the whole corpus waveform lives in HBM and concatenation runs on
+    # device (fastest).  False: waveforms stay on host (mmap) and the OLA
+    # runs in numpy after decode — frees ~4 bytes/sample of HBM for voices
+    # whose audio would not fit next to the unit DB (e.g. 48 kHz corpora).
     preload_all_waves: bool = True
 
     # ---- silence / trimming ----
@@ -75,7 +97,11 @@ class SnickeryConfig:
     synth_batch: int = 1                    # utterances per batched CLI synth step
     mesh_data: int = 1                      # data-parallel axis size (synth_batch path)
     mesh_db: int = 1                        # unit-DB shard axis size (synth_batch path)
-    use_pallas: bool = True                 # pallas preselect kernel (else XLA top_k)
+    # Preselect kernel choice — tri-state: True = Pallas kernel on TPU (XLA
+    # fallback on CPU backends), False = XLA top_k everywhere, "interpret" =
+    # force the Pallas path in interpret mode on ANY backend (slow; lets CPU
+    # test runs exercise the real kernel code).
+    use_pallas: bool | str = True
     preselect_precision: str = "highest"    # "highest" (exact f32) | "split3"
                                             # (bf16_3x) | "split3cat" (same
                                             # maths as split3 in ONE K=3d MXU
@@ -92,6 +118,14 @@ class SnickeryConfig:
             raise ValueError("multiepoch must be >= 1")
         if self.n_candidates < 1:
             raise ValueError("n_candidates must be >= 1")
+        if self.preselection_method not in (
+                "", "acoustic", "quinphone", "quinphone_backoff"):
+            raise ValueError(
+                f"unknown preselection_method {self.preselection_method!r}")
+        if self.join_cost_type not in ("natural", "squared"):
+            raise ValueError(f"unknown join_cost_type {self.join_cost_type!r}")
+        if self.magphase_overlap < 0:
+            raise ValueError("magphase_overlap must be >= 0")
         # Broadcast scalar weights across streams.
         ns = len(self.stream_list)
         for attr in ("target_stream_weights", "join_stream_weights"):

@@ -140,22 +140,35 @@ def detect_epochs_batch(
     n_threads: int = 8,
     **kwargs,
 ) -> list:
-    """Thread-parallel :func:`detect_epochs` over a corpus.
+    """Whole-corpus :func:`detect_epochs` (the REAPER-equivalent prep stage,
+    SURVEY.md §2.9 — the reference shells out to one REAPER process per
+    file).
 
-    The native C++ detector is stateless and the ctypes foreign call
-    releases the GIL, so a thread pool scales with cores for the
-    corpus-prep pass (the REAPER-equivalent stage, SURVEY.md §2.9 — the
-    reference shells out to one REAPER process per file).  Results are
-    bit-identical to the serial loop (verified).  NOTE: the bench VM for
-    this build exposes a single CPU core (nproc=1), so no speedup is
-    observable there — the batch API exists for real multi-core prep hosts.
+    Preferred path: ONE native batch call (`snickery_detect_epochs_batch`)
+    over the concatenated corpus — no per-utterance python/ctypes dispatch,
+    which matters on the single-core bench VM.  Fallback: a thread pool of
+    scalar calls (the ctypes foreign call releases the GIL, so this scales
+    with cores on multi-core prep hosts).  All paths are bit-identical per
+    utterance (verified: tests/test_native.py).
     """
+    use_native = kwargs.pop("use_native", True)
+    if use_native and len(waves) > 0:
+        try:
+            from snickery_tpu.native import native_detect_epochs_batch
+            out = native_detect_epochs_batch(waves, sr, **kwargs)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
     if len(waves) <= 1 or n_threads <= 1:
-        return [detect_epochs(w, sr, **kwargs) for w in waves]
+        return [detect_epochs(w, sr, use_native=use_native, **kwargs)
+                for w in waves]
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=n_threads) as ex:
-        return list(ex.map(lambda w: detect_epochs(w, sr, **kwargs), waves))
+        return list(ex.map(
+            lambda w: detect_epochs(w, sr, use_native=use_native, **kwargs),
+            waves))
 
 
 def f0_from_epochs(

@@ -159,7 +159,7 @@ def magphase_analysis(
 @functools.partial(
     jax.jit,
     static_argnames=("frame_max", "n_fft", "n_samples", "sample_rate",
-                     "wsum_floor"),
+                     "wsum_floor", "overlap"),
 )
 def magphase_synthesis_frames(
     mag: jax.Array,
@@ -171,6 +171,7 @@ def magphase_synthesis_frames(
     n_samples: int,
     sample_rate: int,
     wsum_floor: float = 0.3,
+    overlap: int = 0,
 ) -> jax.Array:
     """Resynthesise: streams + target epoch grid -> waveform (n_samples,).
 
@@ -195,8 +196,11 @@ def magphase_synthesis_frames(
     half = frame_max // 2
     offs = jnp.arange(frame_max, dtype=jnp.int32) - half
     rel = offs[None, :].astype(jnp.float32)
-    pg = prev_gap[:, None].astype(jnp.float32)
-    ng = next_gap[:, None].astype(jnp.float32)
+    # config magphase_overlap: each frame's window support widens by
+    # `overlap` extra pitch periods per side (smoother joins, softer
+    # transients); the wsum normalisation keeps amplitude calibrated
+    pg = prev_gap[:, None].astype(jnp.float32) * (1 + overlap)
+    ng = next_gap[:, None].astype(jnp.float32) * (1 + overlap)
     left = 0.5 + 0.5 * jnp.cos(jnp.pi * jnp.clip(-rel / pg, 0.0, 1.0))
     right = 0.5 + 0.5 * jnp.cos(jnp.pi * jnp.clip(rel / ng, 0.0, 1.0))
     win = jnp.where(rel < 0, left, right)
@@ -225,6 +229,7 @@ def magphase_synthesis(
     n_samples: int | None = None,
     epoch_samples: np.ndarray | None = None,
     wsum_floor: float = 0.3,
+    overlap: int = 0,
 ) -> np.ndarray:
     """Resynthesise a waveform from {mag, real, imag, lf0} streams.
 
@@ -256,6 +261,6 @@ def magphase_synthesis(
         jnp.asarray(streams["imag"], jnp.float32),
         jnp.asarray(epochs, jnp.int32),
         frame_max=frame_max, n_fft=frame_max, n_samples=total,
-        sample_rate=sample_rate, wsum_floor=wsum_floor,
+        sample_rate=sample_rate, wsum_floor=wsum_floor, overlap=overlap,
     )
     return np.asarray(wave)

@@ -26,6 +26,10 @@ _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _lib_failed = False
 
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_f32p = ctypes.POINTER(ctypes.c_float)
+
 
 def _build() -> bool:
     try:
@@ -58,18 +62,22 @@ def get_lib() -> ctypes.CDLL | None:
             return None
         lib.snickery_detect_epochs.restype = ctypes.c_int
         lib.snickery_detect_epochs.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            _f32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _i32p, ctypes.c_int,
         ]
-        lib.snickery_read_stream.restype = ctypes.c_int64
-        lib.snickery_read_stream.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
-        lib.snickery_write_stream.restype = ctypes.c_int64
-        lib.snickery_write_stream.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.snickery_detect_epochs_batch.restype = ctypes.c_int
+        lib.snickery_detect_epochs_batch.argtypes = [
+            _f32p, _i64p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            _i32p, _i64p, _i32p,
+        ]
         _lib = lib
         return _lib
+
+
+def _max_marks(n_samples: int, sr: int, unvoiced_period_sec: float) -> int:
+    return max(64, int(n_samples / max(sr * unvoiced_period_sec, 1) * 4))
 
 
 def native_detect_epochs(
@@ -81,28 +89,55 @@ def native_detect_epochs(
     if lib is None:
         return None
     wave32 = np.ascontiguousarray(wave, dtype=np.float32)
-    max_marks = max(64, int(len(wave32) / max(sr * unvoiced_period_sec, 1) * 4))
+    max_marks = _max_marks(len(wave32), sr, unvoiced_period_sec)
     out = np.zeros(max_marks, dtype=np.int32)
     n = lib.snickery_detect_epochs(
-        wave32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wave32),
+        wave32.ctypes.data_as(_f32p), len(wave32),
         int(sr), float(fmin), float(fmax), float(unvoiced_period_sec),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_marks)
+        out.ctypes.data_as(_i32p), max_marks)
     if n < 0:
         return None
     return np.unique(out[:n])
 
 
-def native_read_stream(path: str, dim: int) -> np.ndarray | None:
-    """Read a float32 stream file via the native reader; None if unavailable."""
+def native_detect_epochs_batch(
+    waves: list, sr: int, fmin: float = 50.0, fmax: float = 400.0,
+    unvoiced_period_sec: float = 0.005,
+) -> list | None:
+    """Whole-corpus epoch detection in ONE foreign call.
+
+    Concatenates the utterance waveforms and hands the C++ detector the
+    offset table, so per-utterance python/ctypes dispatch overhead vanishes
+    from the corpus-prep loop (the dominant prep pass on the single-core
+    bench VM).  Per-utterance results are bit-identical to
+    :func:`native_detect_epochs` (the batch entry loops the same C scalar
+    routine; the same np.unique post-pass is applied here).
+    Returns None if the native lib is unavailable.
+    """
     lib = get_lib()
-    if lib is None or not os.path.exists(path):
+    if lib is None:
         return None
-    n_bytes = os.path.getsize(path)
-    n_floats = n_bytes // 4
-    out = np.empty(n_floats, dtype=np.float32)
-    got = lib.snickery_read_stream(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        n_floats)
-    if got != n_floats or (dim > 0 and got % dim != 0):
+    n_utts = len(waves)
+    if n_utts == 0:
+        return []
+    offsets = np.zeros(n_utts + 1, dtype=np.int64)
+    for i, w in enumerate(waves):
+        offsets[i + 1] = offsets[i] + len(w)
+    buf = np.empty(int(offsets[-1]), dtype=np.float32)
+    for i, w in enumerate(waves):
+        buf[offsets[i]: offsets[i + 1]] = np.asarray(w, dtype=np.float32)
+    caps = np.zeros(n_utts + 1, dtype=np.int64)
+    for i, w in enumerate(waves):
+        caps[i + 1] = caps[i] + _max_marks(len(w), sr, unvoiced_period_sec)
+    marks = np.zeros(int(caps[-1]), dtype=np.int32)
+    counts = np.zeros(n_utts, dtype=np.int32)
+    rc = lib.snickery_detect_epochs_batch(
+        buf.ctypes.data_as(_f32p), offsets.ctypes.data_as(_i64p),
+        n_utts, int(sr), float(fmin), float(fmax),
+        float(unvoiced_period_sec),
+        marks.ctypes.data_as(_i32p), caps.ctypes.data_as(_i64p),
+        counts.ctypes.data_as(_i32p))
+    if rc < 0:
         return None
-    return out.reshape(-1, dim) if dim > 0 else out
+    return [np.unique(marks[caps[i]: caps[i] + counts[i]])
+            for i in range(n_utts)]

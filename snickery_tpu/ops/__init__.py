@@ -7,12 +7,12 @@ Pallas kernels.
 
 from snickery_tpu.ops.topk import topk_preselect
 from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
-from snickery_tpu.ops.ola import overlap_add_units, crossfade_window
+from snickery_tpu.ops.ola import overlap_add_units, host_overlap_add
 
 __all__ = [
     "topk_preselect",
     "viterbi_decode",
     "greedy_decode",
     "overlap_add_units",
-    "crossfade_window",
+    "host_overlap_add",
 ]

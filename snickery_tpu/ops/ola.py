@@ -38,20 +38,44 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def crossfade_window(frag_len: jax.Array, max_len: int, taper: int) -> jax.Array:
-    """Per-fragment window (n_units, max_len): rises over the first 2*taper
-    samples, 1 in the middle, falls over the last 2*taper before frag_len."""
-    pos = jnp.arange(max_len, dtype=jnp.float32)[None, :]
-    L = frag_len.astype(jnp.float32)[:, None]
+def host_overlap_add(
+    waves: np.ndarray,       # (total_samples,) corpus audio (host / mmap)
+    cut_start: np.ndarray,   # (U,) anchor sample (cut1) per selected unit
+    cut_end: np.ndarray,     # (U,) end sample (cut2) per selected unit
+    taper: int,
+) -> np.ndarray:
+    """Numpy mirror of :func:`overlap_add_units` for the
+    ``preload_all_waves = False`` path: the corpus audio stays on host
+    (mmap-backed), unit ids come back from the device decode, and the
+    concatenation runs here.  Sample-identical placement semantics to the
+    device kernel (same fragment extraction, same raised-cosine min(rise,
+    fall) window, zero outside the corpus), asserted by
+    tests/test_ops.py::test_host_ola_matches_device.
+    """
+    cut_start = np.asarray(cut_start, np.int64)
+    cut_end = np.asarray(cut_end, np.int64)
+    spans = cut_end - cut_start
+    total = int(2 * taper + spans.sum())
+    out = np.zeros(total, np.float32)
+    n = len(waves)
     t2 = float(2 * taper)
-    rise = jnp.clip((pos + 0.5) / t2, 0.0, 1.0)
-    fall = jnp.clip((L - pos - 0.5) / t2, 0.0, 1.0)
-    rise_w = 0.5 - 0.5 * jnp.cos(jnp.pi * rise)
-    fall_w = 0.5 - 0.5 * jnp.cos(jnp.pi * fall)
-    win = jnp.minimum(rise_w, fall_w)
-    return jnp.where(pos < L, win, 0.0)
+    anchor = taper
+    for c1, c2, span in zip(cut_start, cut_end, spans):
+        L = int(span) + 2 * taper
+        s0 = int(c1) - taper
+        frag = np.zeros(L, np.float32)
+        lo, hi = max(s0, 0), min(s0 + L, n)
+        if hi > lo:
+            frag[lo - s0: hi - s0] = waves[lo:hi]
+        pos = np.arange(L, dtype=np.float32)
+        rise = 0.5 - 0.5 * np.cos(np.pi * np.clip((pos + 0.5) / t2, 0.0, 1.0))
+        fall = 0.5 - 0.5 * np.cos(np.pi * np.clip((L - pos - 0.5) / t2, 0.0, 1.0))
+        out[anchor - taper: anchor - taper + L] += frag * np.minimum(rise, fall)
+        anchor += int(span)
+    return out
 
 
 def _rotate_rows_right(x: jax.Array, e: jax.Array) -> jax.Array:

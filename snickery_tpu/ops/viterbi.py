@@ -36,17 +36,19 @@ import jax.numpy as jnp
 from snickery_tpu.const import BIG_PENALTY
 
 
-def _pairwise_dists(right: jax.Array, left: jax.Array) -> jax.Array:
-    """(N, N) Euclidean distances between rows of right (prev) and left (next)."""
+def _pairwise_dists(right: jax.Array, left: jax.Array,
+                    squared: bool = False) -> jax.Array:
+    """(N, N) Euclidean (or squared-Euclidean) distances between rows of
+    right (prev) and left (next)."""
     rr = jnp.sum(right * right, axis=-1)[:, None]
     ll = jnp.sum(left * left, axis=-1)[None, :]
     cross = jnp.dot(right, left.T, precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     sq = jnp.maximum(rr + ll - 2.0 * cross, 0.0)
-    return jnp.sqrt(sq)
+    return sq if squared else jnp.sqrt(sq)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("squared_joins",))
 def viterbi_decode(
     target_costs: jax.Array,     # (T, N) f32 — BIG_PENALTY for padded slots
     join_left: jax.Array,        # (T, N, dj) candidate left contexts (pre-weighted)
@@ -54,6 +56,7 @@ def viterbi_decode(
     join_cost_weight: jax.Array | float = 1.0,
     search_epsilon: jax.Array | float = 0.0,
     length: jax.Array | None = None,   # actual T (for padded lattices); scalar int
+    squared_joins: bool = False,       # config join_cost_type == "squared"
 ) -> tuple[jax.Array, jax.Array]:
     """Best path through the candidate lattice.
 
@@ -74,7 +77,7 @@ def viterbi_decode(
     def step(carry, inputs):
         prev_cost, prev_right = carry
         tc_t, jl_t, jr_t, live_t = inputs
-        dists = _pairwise_dists(prev_right, jl_t)               # (N, N)
+        dists = _pairwise_dists(prev_right, jl_t, squared_joins)  # (N, N)
         # epsilon pruning: drop states far above the running best
         pruned = jnp.where(
             (eps > 0.0) & (prev_cost > jnp.min(prev_cost) + eps),
@@ -109,13 +112,14 @@ def viterbi_decode(
     return path.astype(jnp.int32), total
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("squared_joins",))
 def greedy_decode(
     target_costs: jax.Array,     # (T, N)
     join_left: jax.Array,        # (T, N, dj)
     join_right: jax.Array,       # (T, N, dj)
     join_cost_weight: jax.Array | float = 1.0,
     length: jax.Array | None = None,
+    squared_joins: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Greedy online selection (reference's greedy_search variant,
     SURVEY.md §2 row 11 [M]): at each step pick the candidate minimising
@@ -133,7 +137,9 @@ def greedy_decode(
     def step(carry, inputs):
         ctx, acc = carry
         tc_t, jl_t, jr_t, live_t = inputs
-        d = jnp.sqrt(jnp.maximum(jnp.sum((jl_t - ctx[None, :]) ** 2, axis=-1), 0.0))
+        d = jnp.maximum(jnp.sum((jl_t - ctx[None, :]) ** 2, axis=-1), 0.0)
+        if not squared_joins:
+            d = jnp.sqrt(d)
         total = tc_t + jnp.where(live_t, jcw * d, 0.0)
         choice = jnp.argmin(total).astype(jnp.int32)
         return (jr_t[choice], acc + total[choice]), choice

@@ -183,8 +183,16 @@ def synth_pipeline(
     use_greedy: bool = False,
     extra: np.ndarray | None = None,
     fast_preselect: bool = False,
+    lattice_penalty: np.ndarray | None = None,
 ) -> tuple[np.ndarray, float]:
-    """End-to-end selection oracle -> (unit ids (T,), total cost)."""
+    """End-to-end selection oracle -> (unit ids (T,), total cost).
+
+    ``extra`` (T, M): additive preselect-ranking penalties (linguistic
+    preselection) — they decide WHO preselects, not the lattice costs.
+    ``lattice_penalty`` (T, M): penalties that DO follow candidates into the
+    lattice target costs (the halfphone identity fallback rule — matches
+    synth.synth_pipeline_step).
+    """
     pre = preselect_fast if fast_preselect else preselect
     cand_idx, cand_sq = pre(targets_w, db_feats_w, n_candidates, extra=extra)
     if extra is not None:
@@ -196,6 +204,8 @@ def synth_pipeline(
             tc[t] = np.sqrt(np.maximum(np.einsum("nd,nd->n", diff, diff), 0.0))
     else:
         tc = np.sqrt(np.maximum(cand_sq, 0.0))
+    if lattice_penalty is not None:
+        tc = tc + np.take_along_axis(lattice_penalty, cand_idx, axis=1)
     jl = db_jl_w[cand_idx]
     jr = db_jr_w[cand_idx]
     if use_greedy:

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from snickery_tpu.ops.ola import overlap_add_units
 from snickery_tpu.ops.topk import preselect_margin, topk_preselect
-from snickery_tpu.ops.viterbi import viterbi_decode
+from snickery_tpu.ops.viterbi import greedy_decode, viterbi_decode
 
 from snickery_tpu import utils
 
@@ -91,7 +91,7 @@ def _select_decode_batch(
     targets, lengths, voice_ids, tgt_codes, tgt_ctx,
     *, n_cand, chunk, jcw, eps, db_axis, use_pallas=False, multivoice=False,
     mm_precision="highest", halfphone=False, ling_weights=None,
-    pallas_interpret=False,
+    pallas_interpret=False, greedy=False, squared_joins=False,
 ):
     """Batched selection on one device: the whole local batch's target frames
     are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
@@ -103,8 +103,16 @@ def _select_decode_batch(
     recomputed for the k local winners from the LOCAL feature shard before
     the all_gather — global candidate ids cannot index a shard).
     """
+    import math
+
     B, T, D = targets.shape
     m_local = feats_shard.shape[0]
+    # a sharded DB slice need not stay divisible by the configured scan
+    # chunk (Pallas padding scales by mesh_db, not by this chunk): fall
+    # back to the largest common divisor so topk_preselect's divisibility
+    # contract always holds (ADVICE.md round 2)
+    if m_local % chunk != 0:
+        chunk = math.gcd(chunk, m_local)
     live = (jnp.arange(T, dtype=jnp.int32)[None, :] < lengths[:, None])   # (B, T)
     tw = jnp.where(live[:, :, None], targets, 0.0)
     tw_flat = tw.reshape(B * T, D)
@@ -156,6 +164,12 @@ def _select_decode_batch(
     diff = cand_feats - tw_flat[:, None, :]
     ac_local = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
     ac_local = jnp.where(jnp.isinf(scores_local), jnp.inf, ac_local)
+    if halfphone:
+        # identity fallback penalty in the lattice (same rule + rationale
+        # as synth.synth_pipeline_step — see the comment there)
+        from snickery_tpu.const import BIG_PENALTY
+        mism = codes_shard[idx_local] != tgt_codes.reshape(B * T)[:, None]
+        ac_local = ac_local + jnp.float32(BIG_PENALTY) * mism
     # ranking key: halfphone keeps the penalty-polluted kernel scores (the
     # quinphone penalties decide WHO preselects); epoch mode ranks by the
     # exact distance itself
@@ -182,8 +196,12 @@ def _select_decode_batch(
     target_costs = target_costs.reshape(B, T, n_sel)
 
     def one(tc, jlc, jrc, length):
+        if greedy:
+            return greedy_decode(tc, jlc, jrc, join_cost_weight=jcw,
+                                 length=length, squared_joins=squared_joins)
         return viterbi_decode(tc, jlc, jrc, join_cost_weight=jcw,
-                              search_epsilon=eps, length=length)
+                              search_epsilon=eps, length=length,
+                              squared_joins=squared_joins)
 
     paths, costs = jax.vmap(one)(target_costs, jl_cand, jr_cand, lengths)
     unit_ids = jnp.take_along_axis(cand_idx, paths[:, :, None], axis=2)[:, :, 0]
@@ -195,7 +213,7 @@ def _select_decode_batch(
     jax.jit,
     static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper",
                      "use_pallas", "mm_precision", "halfphone", "ling_weights",
-                     "pallas_interpret"),
+                     "pallas_interpret", "greedy", "squared_joins", "do_ola"),
 )
 def batched_synth_step(
     voice: ShardedVoice,
@@ -218,11 +236,17 @@ def batched_synth_step(
     halfphone: bool = False,
     ling_weights: tuple | None = None,
     pallas_interpret: bool = False,
+    greedy: bool = False,
+    squared_joins: bool = False,
+    do_ola: bool = True,
 ):
     """Batched multi-utterance synthesis over the mesh.
 
     Returns (unit_ids (B, T), total_costs (B,), audio (B, out_len),
-    total_samples (B,)).
+    total_samples (B,)).  ``greedy`` decodes each utterance with the online
+    greedy rule instead of Viterbi (one scan, no N x N transitions — the
+    throughput-mode variant); ``do_ola=False`` skips device concatenation
+    for hosts that keep the corpus audio off-device (preload_all_waves).
     """
     db_axis = "db"
     multivoice = voice_ids is not None
@@ -250,14 +274,23 @@ def batched_synth_step(
             use_pallas=use_pallas, multivoice=multivoice,
             mm_precision=mm_precision, halfphone=halfphone,
             ling_weights=ling_weights,
-            pallas_interpret=pallas_interpret)
+            pallas_interpret=pallas_interpret, greedy=greedy,
+            squared_joins=squared_joins)
 
-        def ola_one(ids, len_one):
-            return overlap_add_units(
-                waves, cut1[ids], cut2[ids], n_units=len_one,
-                max_frag=max_frag, out_len=out_len, taper=taper)
+        if do_ola:
+            def ola_one(ids, len_one):
+                return overlap_add_units(
+                    waves, cut1[ids], cut2[ids], n_units=len_one,
+                    max_frag=max_frag, out_len=out_len, taper=taper)
 
-        audio, totals = jax.vmap(ola_one)(unit_ids, len_local)
+            audio, totals = jax.vmap(ola_one)(unit_ids, len_local)
+        else:
+            b_loc, t_loc = unit_ids.shape
+            live = (jnp.arange(t_loc, dtype=jnp.int32)[None, :]
+                    < len_local[:, None])
+            spans = jnp.where(live, cut2[unit_ids] - cut1[unit_ids], 0)
+            totals = 2 * taper + jnp.sum(spans, axis=1)
+            audio = jnp.zeros((b_loc, 8), jnp.float32)
         return unit_ids, costs, audio, totals
 
     return jax.shard_map(

@@ -23,11 +23,20 @@ import numpy as np
 
 from snickery_tpu import utils
 from snickery_tpu.config import SnickeryConfig
-from snickery_tpu.const import BIG_PENALTY
-from snickery_tpu.ops.ola import overlap_add_units
+from snickery_tpu.ops.ola import host_overlap_add, overlap_add_units
 from snickery_tpu.ops.topk import preselect_margin, topk_preselect
 from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
 from snickery_tpu.voicedb.db import VoiceDB
+
+# Strict back-off preselection tiers (preselection_method="quinphone_backoff"):
+# one outer-context (quinphone) mismatch costs 2^14, one inner-context
+# (triphone) mismatch costs 256 * 2^14 = 2^22.  Powers of two are exact in
+# f32 and the gaps dominate any acoustic score (squared weighted distances
+# span a few thousand at most on normalised features), so candidate pools
+# tier strictly: exact quinphone > triphone-only > same-halfphone-only,
+# with exact acoustic ordering inside each tier (f32 ulp at 2^22+2^15 is
+# 0.25 — fine-grained against real score gaps).
+BACKOFF_LING_WEIGHTS = (1.0, 256.0, 0.0, 256.0, 1.0, 16384.0)
 
 logger = utils.logger
 
@@ -67,7 +76,7 @@ class DeviceDB(NamedTuple):
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
                      "max_frag", "out_len", "taper", "use_pallas",
                      "mm_precision", "multivoice", "ling_weights",
-                     "pallas_interpret"),
+                     "pallas_interpret", "squared_joins", "do_ola"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
@@ -91,13 +100,19 @@ def synth_pipeline_step(
     multivoice: bool = False,
     ling_weights: tuple | None = None,
     pallas_interpret: bool = False,
+    squared_joins: bool = False,
+    do_ola: bool = True,
 ):
     """The full per-utterance synthesis program (one compiled unit).
 
     ``multivoice``: ``tgt_vids`` carry the requested voice id per step and
     ``db.vids`` the per-unit voice id; selection is hard-restricted to the
     matching voice via the fused partition mask (composes with the
-    halfphone linguistic penalties)."""
+    halfphone linguistic penalties).
+    ``do_ola=False`` (config preload_all_waves=False): the corpus audio is
+    NOT device-resident — skip concatenation, return a placeholder audio
+    buffer plus the exact total sample count; the caller overlap-adds on
+    host from the mmap'd corpus."""
     T = targets.shape[0]
     tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
     tw = tnorm * db.sqrt_wt[None, :]
@@ -134,6 +149,18 @@ def synth_pipeline_step(
     ac = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
     ac = jnp.where(jnp.isinf(scores), jnp.inf, ac)
     rank = scores if halfphone else ac
+    if halfphone:
+        # The identity penalty follows mismatched candidates into the
+        # LATTICE: preselect slots left over after the same-name pool is
+        # exhausted (small voices / rare halfphones) are filled by other
+        # units, which must only ever win when no same-name candidate
+        # exists at that step — not on acoustics alone.  Context (quinphone)
+        # penalties stay preselect-only, as in the reference's linguistic
+        # preselection (SURVEY.md §2 row 3: matching decides the pool, not
+        # the target cost).  oracle.synth_pipeline applies the same rule.
+        from snickery_tpu.const import BIG_PENALTY
+        mism = db.codes[cand_idx] != tgt_codes[:, None]
+        ac = ac + jnp.float32(BIG_PENALTY) * mism
     order = jnp.lexsort((cand_idx, rank), axis=-1)[:, :n_cand]
     cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
     target_costs = jnp.take_along_axis(ac, order, axis=-1)
@@ -143,23 +170,30 @@ def synth_pipeline_step(
     jr_cand = db.jr[cand_idx]
     if greedy:
         path, total_cost = greedy_decode(
-            target_costs, jl_cand, jr_cand, join_cost_weight=jcw, length=length)
+            target_costs, jl_cand, jr_cand, join_cost_weight=jcw, length=length,
+            squared_joins=squared_joins)
     else:
         path, total_cost = viterbi_decode(
             target_costs, jl_cand, jr_cand, join_cost_weight=jcw,
-            search_epsilon=eps, length=length)
+            search_epsilon=eps, length=length, squared_joins=squared_joins)
     unit_ids = jnp.take_along_axis(cand_idx, path[:, None], axis=1)[:, 0]
     unit_ids = jnp.where(live, unit_ids, 0)
 
-    audio, total_samples = overlap_add_units(
-        db.waves, db.cut1[unit_ids], db.cut2[unit_ids], n_units=length,
-        max_frag=max_frag, out_len=out_len, taper=taper)
+    if do_ola:
+        audio, total_samples = overlap_add_units(
+            db.waves, db.cut1[unit_ids], db.cut2[unit_ids], n_units=length,
+            max_frag=max_frag, out_len=out_len, taper=taper)
+    else:
+        spans = jnp.where(live, db.cut2[unit_ids] - db.cut1[unit_ids], 0)
+        total_samples = 2 * taper + jnp.sum(spans)
+        audio = jnp.zeros((8,), jnp.float32)
     return unit_ids, total_cost, audio, total_samples
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n_cand", "chunk", "use_pallas", "mm_precision", "multivoice",
-    "max_frag", "out_len", "taper", "pallas_interpret"))
+    "max_frag", "out_len", "taper", "pallas_interpret", "squared_joins",
+    "do_ola"))
 def _streaming_step(
     db: DeviceDB,
     targets: jax.Array,      # (T, D) unit-rate targets (padded)
@@ -178,6 +212,8 @@ def _streaming_step(
     out_len: int,
     taper: int,
     pallas_interpret: bool = False,
+    squared_joins: bool = False,
+    do_ola: bool = True,
 ):
     """One streaming-decode step, fully on device: preselect + greedy decode
     with an incoming join context + chunk OLA.  Returns (unit ids (T,),
@@ -220,8 +256,9 @@ def _streaming_step(
     def step(carry, inp):
         ctx, w = carry
         tc_t, jl_t, jr_t, live_t = inp
-        dist = jnp.sqrt(jnp.maximum(
-            jnp.sum((jl_t - ctx[None, :]) ** 2, axis=-1), 0.0))
+        dist = jnp.maximum(jnp.sum((jl_t - ctx[None, :]) ** 2, axis=-1), 0.0)
+        if not squared_joins:
+            dist = jnp.sqrt(dist)
         total = tc_t + jnp.where(live_t, w * dist, 0.0)
         choice = jnp.argmin(total).astype(jnp.int32)
         new_ctx = jnp.where(live_t, jr_t[choice], ctx)
@@ -232,9 +269,14 @@ def _streaming_step(
         step, (init_ctx, jcw_first), (target_costs, jl_cand, jr_cand, live))
     unit_ids = jnp.take_along_axis(cand_idx, path[:, None], axis=1)[:, 0]
     unit_ids = jnp.where(live, unit_ids, 0)
-    audio, total = overlap_add_units(
-        db.waves, db.cut1[unit_ids], db.cut2[unit_ids], n_units=length,
-        max_frag=max_frag, out_len=out_len, taper=taper)
+    if do_ola:
+        audio, total = overlap_add_units(
+            db.waves, db.cut1[unit_ids], db.cut2[unit_ids], n_units=length,
+            max_frag=max_frag, out_len=out_len, taper=taper)
+    else:
+        spans = jnp.where(live, db.cut2[unit_ids] - db.cut1[unit_ids], 0)
+        total = 2 * taper + jnp.sum(spans)
+        audio = jnp.zeros((8,), jnp.float32)
     return unit_ids, ctx_out, audio, total
 
 
@@ -300,6 +342,10 @@ class Synthesiser:
         jr = np.pad(jr, pad)
         cuts = np.pad(db.cutpoints.astype(np.int32), ((0, mp - m), (0, 0)))
 
+        # fail fast on an inconsistent preselection method (the resolver
+        # raises for linguistic modes on non-halfphone voices)
+        self._preselect_method()
+
         dev = jax.devices()[0]
         put = functools.partial(jax.device_put, device=dev)
         # merged multi-voice DBs carry voice_ids + voice_names (voicedb/multivoice.py)
@@ -327,13 +373,17 @@ class Synthesiser:
             ctx_arr = np.zeros((mp, 5), np.int32)
         vids_arr = np.pad(db.voice_ids.astype(np.int32), (0, mp - m),
                           constant_values=-1)
+        # preload_all_waves=False keeps the corpus audio on host (the VoiceDB
+        # loads it mmap-backed); the device sees a tiny placeholder and the
+        # OLA runs in numpy after decode (ops.ola.host_overlap_add)
         self.device_db = DeviceDB(
             feats=put(feats),
             jl=put(jl),
             jr=put(jr),
             cut1=put(np.ascontiguousarray(cuts[:, 1])),
             cut2=put(np.ascontiguousarray(cuts[:, 2])),
-            waves=put(np.asarray(db.waves, np.float32)),
+            waves=put(np.asarray(db.waves, np.float32)
+                      if cfg.preload_all_waves else np.zeros(128, np.float32)),
             mean_t=put(db.mean_target.astype(np.float32)),
             std_t=put(db.std_target.astype(np.float32)),
             sqrt_wt=put(self._sqrt_wt),
@@ -386,10 +436,37 @@ class Synthesiser:
     def _pallas_interpret(self) -> bool:
         return self.cfg.use_pallas == "interpret"
 
+    def _preselect_method(self) -> str:
+        """Resolve config preselection_method ("" = auto by voice type)."""
+        m = self.cfg.preselection_method
+        halfphone = self.db.target_representation == "halfphone"
+        if not m:
+            return "quinphone" if halfphone else "acoustic"
+        if m != "acoustic" and not halfphone:
+            raise ValueError(
+                f"preselection_method={m!r} needs a halfphone voice "
+                f"(this DB has target_representation="
+                f"{self.db.target_representation!r})")
+        return m
+
+    def _use_ling(self) -> bool:
+        """Whether linguistic (quinphone) penalties enter the preselect."""
+        return self._preselect_method() in ("quinphone", "quinphone_backoff")
+
     def _ling_weights(self) -> tuple:
         cfg = self.cfg
+        if self._preselect_method() == "quinphone_backoff":
+            return BACKOFF_LING_WEIGHTS
         return tuple(float(w) for w in cfg.quinphone_context_weights) + (
             float(cfg.quinphone_penalty_scale),)
+
+    def _host_ola(self, unit_ids: np.ndarray) -> np.ndarray:
+        """Host-side concatenation for preload_all_waves=False."""
+        cuts = self.db.cutpoints
+        ids = np.asarray(unit_ids)
+        return host_overlap_add(
+            np.asarray(self.db.waves), cuts[ids, 1], cuts[ids, 2],
+            self.cfg.taper_length)
 
     def _run_pipeline(self, tgt_pad, t_units, codes, ctx, vids,
                       n_cand: int, greedy: bool):
@@ -413,12 +490,14 @@ class Synthesiser:
             jnp.asarray(codes), jnp.asarray(ctx), jnp.asarray(vids),
             jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
             n_cand=n_cand, chunk=self.chunk, greedy=greedy,
-            halfphone=self.db.target_representation == "halfphone",
+            halfphone=self._use_ling(),
             max_frag=self.max_frag, out_len=out_len, taper=cfg.taper_length,
             use_pallas=use_pallas, mm_precision=cfg.preselect_precision,
             multivoice=self.is_multivoice,
             ling_weights=self._ling_weights(),
             pallas_interpret=self._pallas_interpret(),
+            squared_joins=cfg.join_cost_type == "squared",
+            do_ola=cfg.preload_all_waves,
         )
 
     # ----------------------------------------------------------------- public
@@ -483,9 +562,12 @@ class Synthesiser:
             unit_ids, total_cost, audio, total_samples = jax.device_get(
                 self._run_pipeline(tgt_pad, t_units, codes, ctx, vids,
                                    n_cand, greedy))
+        unit_ids = np.asarray(unit_ids[:t_units])
+        wave = (np.asarray(audio[: int(total_samples)])
+                if cfg.preload_all_waves else self._host_ola(unit_ids))
         return {
-            "wave": np.asarray(audio[: int(total_samples)]),
-            "unit_ids": np.asarray(unit_ids[:t_units]),
+            "wave": wave,
+            "unit_ids": unit_ids,
             "total_cost": float(total_cost),
             "n_units": int(t_units),
         }
@@ -509,8 +591,6 @@ class Synthesiser:
 
         cfg = self.cfg
         halfphone = self.db.target_representation == "halfphone"
-        if greedy:
-            raise NotImplementedError("synth_batch uses Viterbi decoding")
         if self.is_multivoice and voices is None:
             raise ValueError(
                 "multi-voice DB: pass voices=[...] (one per utterance)")
@@ -572,15 +652,21 @@ class Synthesiser:
                 out_len=out_len, taper=cfg.taper_length,
                 use_pallas=self._use_pallas(),
                 mm_precision=cfg.preselect_precision,
-                halfphone=halfphone,
+                halfphone=self._use_ling(),
                 ling_weights=self._ling_weights(),
-                pallas_interpret=self._pallas_interpret()))
+                pallas_interpret=self._pallas_interpret(),
+                greedy=greedy,
+                squared_joins=cfg.join_cost_type == "squared",
+                do_ola=cfg.preload_all_waves))
         results = []
         for b in range(B):
             n = int(lengths[b])
+            ids = np.asarray(unit_ids[b, :n])
+            wave = (np.asarray(audio[b, : int(totals[b])])
+                    if cfg.preload_all_waves else self._host_ola(ids))
             results.append({
-                "wave": np.asarray(audio[b, : int(totals[b])]),
-                "unit_ids": np.asarray(unit_ids[b, :n]),
+                "wave": wave,
+                "unit_ids": ids,
                 "total_cost": float(costs[b]),
                 "n_units": n,
             })
@@ -633,8 +719,12 @@ class Synthesiser:
             nonlocal tail
             unit_ids, audio, total, t_units = pending
             unit_ids, audio, total = jax.device_get((unit_ids, audio, total))
-            self.last_stream_unit_ids.append(np.asarray(unit_ids)[:t_units])
-            audio = np.array(audio)[: int(total)]
+            ids = np.asarray(unit_ids)[:t_units]
+            self.last_stream_unit_ids.append(ids)
+            if cfg.preload_all_waves:
+                audio = np.array(audio)[: int(total)]
+            else:
+                audio = self._host_ola(ids)
             audio[:t2] += tail
             tail = audio[-t2:].copy()
             return audio[:-t2]
@@ -684,7 +774,9 @@ class Synthesiser:
                 multivoice=self.is_multivoice,
                 max_frag=self.max_frag, out_len=out_len,
                 taper=cfg.taper_length,
-                pallas_interpret=self._pallas_interpret())
+                pallas_interpret=self._pallas_interpret(),
+                squared_joins=cfg.join_cost_type == "squared",
+                do_ola=cfg.preload_all_waves)
             if pending is not None:
                 yield finish(pending)
             pending = (unit_ids, audio, total, t_units)
@@ -745,4 +837,5 @@ class Synthesiser:
         return magphase_synthesis(
             streams, cfg.sample_rate,
             target_lf0=(np.asarray(target_lf0).reshape(-1) if use_tgt else None),
+            overlap=cfg.magphase_overlap,
         )

@@ -1,0 +1,206 @@
+"""Every accepted config key changes behaviour (VERDICT round 2, item 3).
+
+Covers the four keys that were previously parsed-but-ignored:
+``preselection_method``, ``join_cost_type``, ``magphase_overlap``,
+``preload_all_waves`` — each with a test proving it alters the pipeline.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from snickery_tpu.config import SnickeryConfig
+from snickery_tpu.synth import BACKOFF_LING_WEIGHTS, Synthesiser
+from tests.toyvoice import build_toy_voice, synth_utterance
+from snickery_tpu.features.epochs import detect_epochs
+from snickery_tpu.features.magphase import magphase_analysis
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def epoch_voice():
+    cfg, db, utts = build_toy_voice(halfphone=False)
+    return cfg, db, utts, Synthesiser(cfg, db=db)
+
+
+@pytest.fixture(scope="module")
+def halfphone_voice():
+    cfg, db, utts = build_toy_voice(halfphone=True)
+    return cfg, db, utts, Synthesiser(cfg, db=db)
+
+
+def _held_out_halfphone_targets(synth):
+    wave, segments = synth_utterance(912)
+    epochs = detect_epochs(wave, SR, use_native=False)
+    streams = magphase_analysis(wave, epochs, SR)
+    feats = np.concatenate(
+        [streams["mag"], streams["real"], streams["imag"], streams["lf0"]],
+        axis=1).astype(np.float32)
+    return synth.halfphone_targets_from_features(feats, epochs, segments)
+
+
+# ------------------------------------------------------ preselection_method
+def test_preselection_method_validation():
+    with pytest.raises(ValueError):
+        SnickeryConfig(preselection_method="kdtree")
+    # linguistic modes demand a halfphone voice
+    cfg, db, _ = build_toy_voice(halfphone=False, n_utts=2)
+    cfg2 = dataclasses.replace(cfg, preselection_method="quinphone")
+    with pytest.raises(ValueError, match="halfphone"):
+        Synthesiser(cfg2, db=db)
+
+
+def test_preselection_method_switches_behaviour(halfphone_voice):
+    cfg, db, utts, synth = halfphone_voice
+    tgt, kept = _held_out_halfphone_targets(synth)
+
+    def run(method):
+        c = dataclasses.replace(cfg, preselection_method=method)
+        s = Synthesiser(c, db=db)
+        return s.synth_from_features(tgt, target_segments=kept)
+
+    r_quin = run("quinphone")
+    r_ac = run("acoustic")
+    r_def = run("")           # auto resolves to quinphone for halfphone DBs
+    np.testing.assert_array_equal(r_quin["unit_ids"], r_def["unit_ids"])
+    # quinphone mode hard-matches the requested halfphone identity (for
+    # names the toy vocab actually contains; unseen names have no matching
+    # units and fall back to acoustics)
+    want = np.asarray([synth._unit_vocab.get(s.name, -2) for s in kept])
+    known = want >= 0
+    assert known.mean() > 0.5
+    assert (db.unit_code[r_quin["unit_ids"]][known] == want[known]).all()
+    # acoustic mode ignores identity entirely -> different selections on a
+    # held-out target (same-name units are no longer forced)
+    assert not np.array_equal(r_ac["unit_ids"], r_quin["unit_ids"])
+
+
+def test_quinphone_backoff_strict_tiers():
+    """Backoff tiers are lexicographic: exact-quinphone beats triphone-only
+    beats same-halfphone-only REGARDLESS of acoustics; the graded default
+    lets acoustics override outer-context mismatches."""
+    import jax.numpy as jnp
+    from snickery_tpu.ops.topk import topk_preselect
+
+    d, M = 4, 16
+    tgt = np.zeros((1, d), np.float32)
+    db = np.full((M, d), 100.0, np.float32)     # far-away filler rows
+    # r0: exact quinphone, acoustically far (sq dist 1000)
+    db[0] = [np.sqrt(1000.0), 0, 0, 0]
+    # r1: triphone match but outer context differs, acoustically perfect
+    db[1] = 0.0
+    # r2: same halfphone only (inner context differs), sq dist 4
+    db[2] = [2.0, 0, 0, 0]
+    codes_t = np.zeros(1, np.int32)
+    ctx_t = np.zeros((1, 5), np.int32)
+    db_codes = np.zeros(M, np.int32)
+    db_codes[3:] = 7                             # filler: wrong identity
+    db_ctx = np.zeros((M, 5), np.int32)
+    db_ctx[1, 0] = db_ctx[1, 4] = 9              # outer mismatch (both sides)
+    db_ctx[2, 1] = 9                             # inner mismatch
+    db_ctx[3:] = 9
+    ling = (jnp.asarray(codes_t), jnp.asarray(ctx_t),
+            jnp.asarray(db_codes), jnp.asarray(db_ctx))
+
+    graded = (1.0, 10.0, 0.0, 10.0, 1.0, 100.0)  # const defaults
+    idx_g, _ = topk_preselect(jnp.asarray(tgt), jnp.asarray(db), k=3,
+                              chunk=M, block=4, linguistic=ling,
+                              ling_weights=graded)
+    # graded: r1's 200 outer penalty < r0's 1000 acoustic gap
+    assert list(np.asarray(idx_g)[0]) == [1, 0, 2]
+
+    idx_b, _ = topk_preselect(jnp.asarray(tgt), jnp.asarray(db), k=3,
+                              chunk=M, block=4, linguistic=ling,
+                              ling_weights=BACKOFF_LING_WEIGHTS)
+    # strict tiers: exact quinphone first despite the acoustic gap
+    assert list(np.asarray(idx_b)[0]) == [0, 1, 2]
+
+
+# ---------------------------------------------------------- join_cost_type
+def test_join_cost_type_validation():
+    with pytest.raises(ValueError):
+        SnickeryConfig(join_cost_type="cosine")
+
+
+def test_join_cost_type_squared(epoch_voice):
+    """Squared joins change the decode; natural (zero-distance) joins still
+    cost zero, so a training utterance rides the natural path under both."""
+    cfg, db, utts, synth = epoch_voice
+    c2 = dataclasses.replace(cfg, join_cost_type="squared")
+    synth_sq = Synthesiser(c2, db=db)
+    # natural target: identical (natural joins cost 0 either way)
+    r_nat = synth.synth_from_features(utts[0].features)
+    r_nat_sq = synth_sq.synth_from_features(utts[0].features)
+    np.testing.assert_array_equal(r_nat["unit_ids"], r_nat_sq["unit_ids"])
+    # held-out target: costs must differ (non-zero joins get squared)
+    wave, _ = synth_utterance(913)
+    epochs = detect_epochs(wave, SR, use_native=False)
+    streams = magphase_analysis(wave, epochs, SR)
+    feats = np.concatenate(
+        [streams["mag"], streams["real"], streams["imag"], streams["lf0"]],
+        axis=1).astype(np.float32)
+    r = synth.synth_from_features(feats)
+    r_sq = synth_sq.synth_from_features(feats)
+    assert r["total_cost"] != pytest.approx(r_sq["total_cost"])
+
+
+def test_viterbi_squared_joins_cost_model():
+    """Direct check of the cost model: squared = natural with d -> d^2."""
+    import jax.numpy as jnp
+    from snickery_tpu.ops.viterbi import viterbi_decode
+
+    tc = jnp.zeros((2, 2), jnp.float32)
+    jl = jnp.zeros((2, 2, 1), jnp.float32).at[1, :, 0].set(jnp.asarray([3.0, 5.0]))
+    jr = jnp.zeros((2, 2, 1), jnp.float32)
+    _, cost_nat = viterbi_decode(tc, jl, jr, join_cost_weight=1.0)
+    _, cost_sq = viterbi_decode(tc, jl, jr, join_cost_weight=1.0,
+                                squared_joins=True)
+    assert float(cost_nat) == pytest.approx(3.0)
+    assert float(cost_sq) == pytest.approx(9.0)
+
+
+# -------------------------------------------------------- preload_all_waves
+def test_preload_all_waves_false_host_ola(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    c2 = dataclasses.replace(cfg, preload_all_waves=False)
+    synth_host = Synthesiser(c2, db=db)
+    r_dev = synth.synth_from_features(utts[1].features)
+    r_host = synth_host.synth_from_features(utts[1].features)
+    np.testing.assert_array_equal(r_dev["unit_ids"], r_host["unit_ids"])
+    assert len(r_dev["wave"]) == len(r_host["wave"])
+    np.testing.assert_allclose(r_dev["wave"], r_host["wave"],
+                               atol=1e-4, rtol=1e-4)
+    # batched path too
+    b_dev = synth.synth_batch([utts[1].features])
+    b_host = synth_host.synth_batch([utts[1].features])
+    np.testing.assert_array_equal(b_dev[0]["unit_ids"], b_host[0]["unit_ids"])
+    np.testing.assert_allclose(b_dev[0]["wave"], b_host[0]["wave"],
+                               atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------- magphase_overlap
+def test_magphase_overlap_changes_output(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    r = synth.synth_from_features(utts[0].features)
+    w0 = synth.resynth_magphase(r["unit_ids"])
+    c2 = dataclasses.replace(cfg, magphase_overlap=1)
+    synth2 = Synthesiser(c2, db=db)
+    w1 = synth2.resynth_magphase(r["unit_ids"])
+    assert w0.shape == w1.shape
+    assert np.isfinite(w1).all()
+    assert not np.allclose(w0, w1)
+    # wider windows must not blow up amplitude
+    assert np.abs(w1).max() < 4 * max(np.abs(w0).max(), 1e-3)
+
+
+# ------------------------------------------------------------- greedy batch
+def test_greedy_synth_batch_matches_single(epoch_voice):
+    cfg, db, utts, synth = epoch_voice
+    feats = [utts[0].features, utts[2].features]
+    singles = [synth.synth_from_features(f, greedy=True) for f in feats]
+    batch = synth.synth_batch(feats, greedy=True)
+    for s, b in zip(singles, batch):
+        np.testing.assert_array_equal(s["unit_ids"], b["unit_ids"])
+        assert s["total_cost"] == pytest.approx(b["total_cost"], rel=1e-5)

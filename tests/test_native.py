@@ -1,11 +1,14 @@
-"""Native (C++) runtime pieces: build, epoch-detector agreement, stream I/O."""
+"""Native (C++) runtime pieces: build, epoch-detector agreement, batch entry."""
 
 import numpy as np
 import pytest
 
-from snickery_tpu.native import get_lib, native_detect_epochs, native_read_stream
-from snickery_tpu.features.epochs import detect_epochs
-from snickery_tpu.io.speech import put_speech
+from snickery_tpu.native import (
+    get_lib,
+    native_detect_epochs,
+    native_detect_epochs_batch,
+)
+from snickery_tpu.features.epochs import detect_epochs, detect_epochs_batch
 
 pytestmark = pytest.mark.skipif(get_lib() is None, reason="native toolchain unavailable")
 
@@ -28,10 +31,22 @@ def test_detect_epochs_dispatches_native(toy_wave):
     np.testing.assert_array_equal(via_dispatch, direct)
 
 
-def test_native_stream_reader(tmp_path, rng):
-    data = rng.standard_normal((40, 7)).astype(np.float32)
-    p = str(tmp_path / "x.stream")
-    put_speech(data, p)
-    back = native_read_stream(p, 7)
-    np.testing.assert_array_equal(back, data)
-    assert native_read_stream(str(tmp_path / "missing"), 7) is None
+def test_batch_entry_bit_identical_to_scalar(toy_wave, rng):
+    """The one-call C batch path must agree exactly with per-utterance
+    scalar calls (it loops the same C routine internally)."""
+    wave, sr = toy_wave
+    waves = [wave, wave[: len(wave) // 2],
+             rng.standard_normal(sr // 2).astype(np.float32) * 0.1]
+    batch = native_detect_epochs_batch(waves, sr)
+    assert batch is not None and len(batch) == len(waves)
+    for w, marks in zip(waves, batch):
+        np.testing.assert_array_equal(marks, native_detect_epochs(w, sr))
+
+
+def test_detect_epochs_batch_dispatches_native(toy_wave):
+    wave, sr = toy_wave
+    waves = [wave, wave[: len(wave) // 3]]
+    via_dispatch = detect_epochs_batch(waves, sr)
+    direct = native_detect_epochs_batch(waves, sr)
+    for a, b in zip(via_dispatch, direct):
+        np.testing.assert_array_equal(a, b)

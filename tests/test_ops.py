@@ -222,3 +222,23 @@ def test_pallas_tiling_invariance():
         else:
             np.testing.assert_array_equal(got[0], ref[0])
             np.testing.assert_array_equal(got[1], ref[1])
+
+
+def test_host_ola_matches_device(rng):
+    """host_overlap_add (preload_all_waves=False path) is sample-equivalent
+    to the device kernel, including corpus-boundary clipping."""
+    from snickery_tpu.ops.ola import host_overlap_add
+
+    n = 5000
+    corpus = rng.standard_normal(n).astype(np.float32)
+    taper = 24
+    starts = np.asarray([10, 900, 3777, 4801, 450])   # edges + interior
+    ends = starts + np.asarray([300, 411, 129, 190, 333])
+    out, total = overlap_add_units(
+        jnp.asarray(corpus), jnp.asarray(starts), jnp.asarray(ends),
+        n_units=jnp.int32(len(starts)), max_frag=512, out_len=4096,
+        taper=taper)
+    host = host_overlap_add(corpus, starts, ends, taper)
+    total = int(total)
+    assert len(host) == total
+    np.testing.assert_allclose(np.asarray(out)[:total], host, atol=1e-5)
