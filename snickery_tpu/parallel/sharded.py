@@ -1,18 +1,33 @@
 """Sharded, batched synthesis: the multi-chip compute path.
 
 Layout (north star; SURVEY.md §5.8):
-- unit features          (Mp, D)  -> row-sharded over the ``db`` mesh axis
-- join contexts, cutpoints, waves -> replicated (gathered by global unit id
-  after candidate selection; they are small relative to HBM)
-- target batch           (B, T, D) -> sharded over ``data``
+- unit features            (Mp, D)  -> row-sharded over the ``db`` mesh axis
+- join contexts jl/jr      (Mp, dj) -> row-sharded over ``db``
+- cutpoints cut1/cut2      (Mp,)    -> row-sharded over ``db``
+- waves                    (S,)     -> replicated (see the budget note below)
+- target batch             (B, T, D)-> sharded over ``data``
 
-Per synthesis step, inside ``shard_map``:
+Per synthesis step, inside ``shard_map`` (ndb = size of the db axis):
 1. each (data, db) device computes local top-k of its DB shard for its
-   local batch rows (chunked matmul-distance scan — MXU work),
-2. ``all_gather`` of (k per shard) scores+global-ids over ``db`` (ICI),
-3. re-top-k to n_candidates — exactly the global top-k,
-4. Viterbi + OLA run replicated within each ``db`` group (identical
-   results on each member; the data axis carries the real parallelism).
+   local batch rows (chunked matmul-distance scan / Pallas kernel — MXU),
+2. it gathers the local winners' join contexts + cutpoints from its OWN
+   row shard (candidate payloads: k rows per target row, tiny vs the 2*M*dj
+   full join matrices),
+3. ``all_to_all`` over ``db`` (ICI) redistributes (rank, id, cost, jl, jr,
+   cuts): each member keeps only its 1/ndb SUB-BATCH of utterances but
+   receives those rows' candidates from EVERY shard.  An all_to_all is a
+   transpose — per-device volume is B_local*T*k*dj regardless of ndb
+   (an all_gather of the same payload would grow ndb-fold),
+4. re-top-k to n_candidates (exactly the global top-k), then Viterbi + OLA
+   run on the sub-batch only — decode throughput scales with the WHOLE
+   mesh (data x db), not just the data axis.
+
+Memory budget at the 1.15M-unit bench voice (d=151, f32): features 660 MB
+and join contexts 2x660 MB shard ndb-ways; cutpoints 9 MB shard too.  Only
+the corpus audio stays replicated (~250 MB/h at 16 kHz) because the OLA
+gather needs arbitrary rows of it; voices whose audio would not fit next
+to the DB can set ``preload_all_waves=False`` (audio stays on host, OLA
+runs in numpy after decode) — then NOTHING over ~10 MB is replicated.
 
 ``sharded_norm_stats`` is the DB-building (training-side) collective:
 mean/variance over row-sharded unit features via ``psum``.
@@ -21,6 +36,7 @@ mean/variance over row-sharded unit features via ``psum``.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -38,11 +54,11 @@ from snickery_tpu import utils
 class ShardedVoice(NamedTuple):
     """Device arrays of a voice DB placed on a (data, db) mesh."""
     feats: jax.Array      # (Mp, D) row-sharded over "db"
-    jl: jax.Array         # (Mp, dj) replicated
-    jr: jax.Array         # (Mp, dj) replicated
-    cut1: jax.Array       # (Mp,) replicated
-    cut2: jax.Array       # (Mp,) replicated
-    waves: jax.Array      # (S,)  replicated
+    jl: jax.Array         # (Mp, dj) row-sharded over "db"
+    jr: jax.Array         # (Mp, dj) row-sharded over "db"
+    cut1: jax.Array       # (Mp,) row-sharded over "db"
+    cut2: jax.Array       # (Mp,) row-sharded over "db"
+    waves: jax.Array      # (S,)  replicated (see module docstring budget note)
     mean_t: jax.Array     # (D,)  replicated
     std_t: jax.Array      # (D,)  replicated
     sqrt_wt: jax.Array    # (D,)  replicated
@@ -66,10 +82,10 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
     feats_dev = put(jnp.asarray(feats, jnp.float32), rows)
     return ShardedVoice(
         feats=feats_dev,
-        jl=put(jnp.asarray(jl, jnp.float32), repl),
-        jr=put(jnp.asarray(jr, jnp.float32), repl),
-        cut1=put(jnp.asarray(cut1, jnp.int32), repl),
-        cut2=put(jnp.asarray(cut2, jnp.int32), repl),
+        jl=put(jnp.asarray(jl, jnp.float32), rows),
+        jr=put(jnp.asarray(jr, jnp.float32), rows),
+        cut1=put(jnp.asarray(cut1, jnp.int32), ids),
+        cut2=put(jnp.asarray(cut2, jnp.int32), ids),
         waves=put(jnp.asarray(waves, jnp.float32), repl),
         mean_t=put(jnp.asarray(mean_t, jnp.float32), repl),
         std_t=put(jnp.asarray(std_t, jnp.float32), repl),
@@ -87,26 +103,33 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
 
 
 def _select_decode_batch(
-    feats_shard, jl, jr, part_shard, codes_shard, ctx_shard,
+    feats_shard, jl_shard, jr_shard, cut1_shard, cut2_shard,
+    part_shard, codes_shard, ctx_shard,
     targets, lengths, voice_ids, tgt_codes, tgt_ctx,
-    *, n_cand, chunk, jcw, eps, db_axis, use_pallas=False, multivoice=False,
-    mm_precision="highest", halfphone=False, ling_weights=None,
-    pallas_interpret=False, greedy=False, squared_joins=False,
+    *, n_cand, chunk, jcw, eps, db_axis, ndb, use_pallas=False,
+    multivoice=False, mm_precision="highest", halfphone=False,
+    ling_weights=None, pallas_interpret=False, greedy=False,
+    squared_joins=False,
 ):
-    """Batched selection on one device: the whole local batch's target frames
-    are FLATTENED to (B*T, D) for ONE preselect pass (a single chunked
-    matmul scan — ~7x faster than vmapping preselect per utterance), then
-    reshaped back for the (cheap, vmapped) Viterbi.  Runs inside shard_map.
+    """Batched selection + decode on one device (runs inside shard_map).
+
+    The whole local batch's target frames are FLATTENED to (B*T, D) for ONE
+    preselect pass (a single chunked matmul scan — ~7x faster than vmapping
+    preselect per utterance).  With ndb > 1 the function then keeps only its
+    SUB-BATCH of B/ndb utterances after the all_to_all exchange (see the
+    module docstring) and decodes those.
 
     Halfphone mode: quinphone penalties are fused into the local preselect
     (they pollute the ranking scores, so exact acoustic target costs are
     recomputed for the k local winners from the LOCAL feature shard before
-    the all_gather — global candidate ids cannot index a shard).
-    """
-    import math
+    the exchange — global candidate ids cannot index a shard).
 
+    Returns per-SUB-batch (unit_ids (b_sub, T), costs (b_sub,),
+    cut1/cut2 of the chosen units (b_sub, T), lengths (b_sub,)).
+    """
     B, T, D = targets.shape
     m_local = feats_shard.shape[0]
+    b_sub = B // ndb
     # a sharded DB slice need not stay divisible by the configured scan
     # chunk (Pallas padding scales by mesh_db, not by this chunk): fall
     # back to the largest common divisor so topk_preselect's divisibility
@@ -175,25 +198,57 @@ def _select_decode_batch(
     # exact distance itself
     rank_local = scores_local if halfphone else ac_local
 
-    # gather (k_local per shard) over the db axis -> (B*T, ndb * k_local)
-    all_rank = jax.lax.all_gather(rank_local, db_axis, axis=1, tiled=True)
-    all_idx = jax.lax.all_gather(idx_global, db_axis, axis=1, tiled=True)
-    all_ac = jax.lax.all_gather(ac_local, db_axis, axis=1, tiled=True)
+    if ndb > 1:
+        # candidate payloads from the LOCAL row shards, exchanged with the
+        # scores: after this each member holds ONLY its sub-batch's rows
+        # but with candidates from every shard along axis 1
+        jl_cand = jl_shard[idx_local]                         # (B*T, k, dj)
+        jr_cand = jr_shard[idx_local]
+        c1_cand = cut1_shard[idx_local]                       # (B*T, k)
+        c2_cand = cut2_shard[idx_local]
+
+        def x2(x):
+            return jax.lax.all_to_all(
+                x, db_axis, split_axis=0, concat_axis=1, tiled=True)
+
+        all_rank, all_idx, all_ac = x2(rank_local), x2(idx_global), x2(ac_local)
+        all_jl, all_jr = x2(jl_cand), x2(jr_cand)
+        all_c1, all_c2 = x2(c1_cand), x2(c2_cand)
+        my = jax.lax.axis_index(db_axis)
+        len_sub = jax.lax.dynamic_slice_in_dim(lengths, my * b_sub, b_sub)
+    else:
+        all_rank, all_idx, all_ac = rank_local, idx_global, ac_local
+        all_jl = all_jr = all_c1 = all_c2 = None   # gathered after re-top-k
+        len_sub = lengths
+
     # global re-top-k + canonical candidate order in ONE lexsort: candidates
     # sorted by (rank, unit-id) ascending, keep n_cand.  Viterbi breaks
     # exact ties by candidate position, so this order must match the
     # float64 oracle's (value, index) convention — kernel state-slot order
     # is arbitrary and changes with tiling/selection internals.
+    live_sub = (jnp.arange(T, dtype=jnp.int32)[None, :]
+                < len_sub[:, None])                               # (b_sub, T)
     order = jnp.lexsort((all_idx, all_rank), axis=-1)[:, :n_cand]
     cand_idx = jnp.take_along_axis(all_idx, order, axis=-1)
     target_costs = jnp.take_along_axis(all_ac, order, axis=-1)
-    target_costs = jnp.where(live.reshape(-1, 1), target_costs, 0.0)
+    target_costs = jnp.where(live_sub.reshape(-1, 1), target_costs, 0.0)
+
+    take3 = lambda x: jnp.take_along_axis(x, order[:, :, None], axis=1)
+    if ndb > 1:
+        jl_sel, jr_sel = take3(all_jl), take3(all_jr)
+        c1_sel = jnp.take_along_axis(all_c1, order, axis=-1)
+        c2_sel = jnp.take_along_axis(all_c2, order, axis=-1)
+    else:
+        # single-shard fast path: gather only the n_cand kept candidates
+        idx_sel = jnp.take_along_axis(idx_local, order, axis=-1)
+        jl_sel, jr_sel = jl_shard[idx_sel], jr_shard[idx_sel]
+        c1_sel, c2_sel = cut1_shard[idx_sel], cut2_shard[idx_sel]
 
     n_sel = cand_idx.shape[1]
-    jl_cand = jl[cand_idx].reshape(B, T, n_sel, -1)
-    jr_cand = jr[cand_idx].reshape(B, T, n_sel, -1)
-    cand_idx = cand_idx.reshape(B, T, n_sel)
-    target_costs = target_costs.reshape(B, T, n_sel)
+    jl_sel = jl_sel.reshape(b_sub, T, n_sel, -1)
+    jr_sel = jr_sel.reshape(b_sub, T, n_sel, -1)
+    cand_idx = cand_idx.reshape(b_sub, T, n_sel)
+    target_costs = target_costs.reshape(b_sub, T, n_sel)
 
     def one(tc, jlc, jrc, length):
         if greedy:
@@ -203,10 +258,17 @@ def _select_decode_batch(
                               search_epsilon=eps, length=length,
                               squared_joins=squared_joins)
 
-    paths, costs = jax.vmap(one)(target_costs, jl_cand, jr_cand, lengths)
-    unit_ids = jnp.take_along_axis(cand_idx, paths[:, :, None], axis=2)[:, :, 0]
-    unit_ids = jnp.where(live, unit_ids, 0)
-    return unit_ids, costs
+    paths, costs = jax.vmap(one)(target_costs, jl_sel, jr_sel, len_sub)
+    pick = paths.reshape(b_sub * T, 1)
+    unit_ids = jnp.take_along_axis(cand_idx.reshape(b_sub * T, n_sel),
+                                   pick, axis=1).reshape(b_sub, T)
+    unit_ids = jnp.where(live_sub, unit_ids, 0)
+    cut1_path = jnp.take_along_axis(c1_sel, pick, axis=1).reshape(b_sub, T)
+    cut2_path = jnp.take_along_axis(c2_sel, pick, axis=1).reshape(b_sub, T)
+    zero = jnp.int32(0)
+    cut1_path = jnp.where(live_sub, cut1_path, zero)
+    cut2_path = jnp.where(live_sub, cut2_path, zero)
+    return unit_ids, costs, cut1_path, cut2_path, len_sub
 
 
 @functools.partial(
@@ -240,17 +302,26 @@ def batched_synth_step(
     squared_joins: bool = False,
     do_ola: bool = True,
 ):
-    """Batched multi-utterance synthesis over the mesh.
+    """Batched multi-utterance synthesis over the (data x db) mesh.
+
+    The batch must divide the WHOLE mesh (B % (n_data * ndb) == 0): after
+    the candidate exchange every device decodes B/(n_data*ndb) utterances,
+    so the db axis adds decode/OLA throughput instead of replicating work
+    (the Synthesiser pads batches with zero-length dummies to satisfy this).
 
     Returns (unit_ids (B, T), total_costs (B,), audio (B, out_len),
-    total_samples (B,)).  ``greedy`` decodes each utterance with the online
-    greedy rule instead of Viterbi (one scan, no N x N transitions — the
-    throughput-mode variant); ``do_ola=False`` skips device concatenation
-    for hosts that keep the corpus audio off-device (preload_all_waves).
+    total_samples (B,)).  ``greedy`` decodes with the online greedy rule
+    instead of Viterbi; ``do_ola=False`` skips device concatenation for
+    hosts that keep the corpus audio off-device (preload_all_waves).
     """
     db_axis = "db"
+    ndb = mesh.shape["db"]
+    n_data = mesh.shape["data"]
     multivoice = voice_ids is not None
     B, T, _ = targets.shape
+    if B % (n_data * ndb) != 0:
+        raise ValueError(
+            f"batch {B} must be a multiple of mesh size {n_data}x{ndb}")
     if voice_ids is None:
         voice_ids = jnp.zeros(B, jnp.int32)
     if tgt_codes is None:
@@ -258,8 +329,8 @@ def batched_synth_step(
     if tgt_ctx is None:
         tgt_ctx = jnp.zeros((B, T, 5), jnp.int32)
 
-    def shard_fn(feats_shard, jl, jr, cut1, cut2, waves,
-                 mean_t, std_t,
+    def shard_fn(feats_shard, jl_shard, jr_shard, cut1_shard, cut2_shard,
+                 waves, mean_t, std_t,
                  sqrt_wt, part_shard, codes_shard, ctx_shard,
                  tgt_local, len_local, vid_local, tcodes_local, tctx_local,
                  jcw_, eps_):
@@ -267,30 +338,31 @@ def batched_synth_step(
         tw = (tgt_local - mean_t[None, None, :]) / std_t[None, None, :]
         tw = tw * sqrt_wt[None, None, :]
 
-        unit_ids, costs = _select_decode_batch(
-            feats_shard, jl, jr, part_shard, codes_shard, ctx_shard,
+        unit_ids, costs, cut1_path, cut2_path, len_sub = _select_decode_batch(
+            feats_shard, jl_shard, jr_shard, cut1_shard, cut2_shard,
+            part_shard, codes_shard, ctx_shard,
             tw, len_local, vid_local, tcodes_local, tctx_local,
             n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis,
-            use_pallas=use_pallas, multivoice=multivoice,
+            ndb=ndb, use_pallas=use_pallas, multivoice=multivoice,
             mm_precision=mm_precision, halfphone=halfphone,
             ling_weights=ling_weights,
             pallas_interpret=pallas_interpret, greedy=greedy,
             squared_joins=squared_joins)
 
         if do_ola:
-            def ola_one(ids, len_one):
+            def ola_one(c1, c2, len_one):
                 return overlap_add_units(
-                    waves, cut1[ids], cut2[ids], n_units=len_one,
+                    waves, c1, c2, n_units=len_one,
                     max_frag=max_frag, out_len=out_len, taper=taper)
 
-            audio, totals = jax.vmap(ola_one)(unit_ids, len_local)
+            audio, totals = jax.vmap(ola_one)(cut1_path, cut2_path, len_sub)
         else:
-            b_loc, t_loc = unit_ids.shape
+            b_sub, t_loc = unit_ids.shape
             live = (jnp.arange(t_loc, dtype=jnp.int32)[None, :]
-                    < len_local[:, None])
-            spans = jnp.where(live, cut2[unit_ids] - cut1[unit_ids], 0)
+                    < len_sub[:, None])
+            spans = jnp.where(live, cut2_path - cut1_path, 0)
             totals = 2 * taper + jnp.sum(spans, axis=1)
-            audio = jnp.zeros((b_loc, 8), jnp.float32)
+            audio = jnp.zeros((b_sub, 8), jnp.float32)
         return unit_ids, costs, audio, totals
 
     return jax.shard_map(
@@ -298,8 +370,10 @@ def batched_synth_step(
         mesh=mesh,
         in_specs=(
             P("db", None),            # feats
-            P(), P(),                 # jl, jr
-            P(), P(), P(),            # cut1, cut2, waves
+            P("db", None),            # jl
+            P("db", None),            # jr
+            P("db"), P("db"),         # cut1, cut2
+            P(),                      # waves (replicated; see budget note)
             P(), P(), P(),            # mean_t, std_t, sqrt_wt
             P("db"),                  # part (voice ids, row-sharded)
             P("db"),                  # halfphone codes, row-sharded
@@ -312,10 +386,10 @@ def batched_synth_step(
             P(), P(),                 # jcw, eps
         ),
         out_specs=(
-            P("data", None),          # unit_ids
-            P("data"),                # costs
-            P("data", None),          # audio
-            P("data"),                # total samples
+            P(("data", "db"), None),  # unit_ids (sub-batches tile B in order)
+            P(("data", "db")),        # costs
+            P(("data", "db"), None),  # audio
+            P(("data", "db")),        # total samples
         ),
         check_vma=False,
     )(voice.feats, voice.jl, voice.jr, voice.cut1, voice.cut2,

@@ -602,7 +602,12 @@ class Synthesiser:
             prepped = [self.targets_from_features(f) for f in feature_list]
         t_max = max(n for _, n in prepped)
         t_bucket = utils.bucket_length(t_max, tuple(cfg.length_buckets))
-        B = len(prepped)
+        # the sharded step splits the batch across the WHOLE mesh (each
+        # device decodes B/(mesh_data*mesh_db) utterances), so pad the batch
+        # with zero-length dummies up to a mesh multiple
+        B0 = len(prepped)
+        mesh_mult = max(1, cfg.mesh_data) * max(1, cfg.mesh_db)
+        B = B0 + (-B0) % mesh_mult
         tgts = np.zeros((B, t_bucket, self.db.target_dim), np.float32)
         lengths = np.zeros(B, np.int32)
         tgt_codes = np.full((B, t_bucket), -1, np.int32)
@@ -637,8 +642,9 @@ class Synthesiser:
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
         voice_ids = None
         if self.is_multivoice:
-            voice_ids = jnp.asarray(
-                np.asarray([self._voice_code(v) for v in voices], np.int32))
+            vcodes = [self._voice_code(v) for v in voices]
+            vcodes += [-1] * (B - B0)          # dummies match no voice
+            voice_ids = jnp.asarray(np.asarray(vcodes, np.int32))
         with self.timer.stage("synth_batch_step"):
             unit_ids, costs, audio, totals = jax.device_get(batched_synth_step(
                 self._sharded_voice, jnp.asarray(tgts), jnp.asarray(lengths),
@@ -659,7 +665,7 @@ class Synthesiser:
                 squared_joins=cfg.join_cost_type == "squared",
                 do_ola=cfg.preload_all_waves))
         results = []
-        for b in range(B):
+        for b in range(B0):
             n = int(lengths[b])
             ids = np.asarray(unit_ids[b, :n])
             wave = (np.asarray(audio[b, : int(totals[b])])

@@ -55,13 +55,17 @@ def test_multivoice_batch_respects_partition(two_voices):
                      merged.waves.astype(np.float32),
                      merged.mean_target, merged.std_target, sw, part=part)
 
-    # batch: 2 utts targeting alice, 2 targeting bob (same feature content)
-    B, T = 4, 256
+    # batch: 4 utts targeting alice, 4 targeting bob (same feature content);
+    # B = 8 because the decode now splits the batch across the WHOLE 2x4
+    # mesh (each device decodes B/8 = 1 utterance)
+    B, T = 8, 256
     d = merged.target_dim
     tgts = np.zeros((B, T, d), np.float32)
     lengths = np.zeros(B, np.int32)
-    vids = np.array([0, 0, 1, 1], np.int32)
-    src = [utts_a[0], utts_a[1], utts_b[0], utts_b[1]]
+    vids = np.array([0, 0, 1, 1, 0, 1, 0, 1], np.int32)
+    src = [utts_a[0], utts_a[1], utts_b[0], utts_b[1],
+           utts_a[2 % len(utts_a)], utts_b[2 % len(utts_b)],
+           utts_a[0], utts_b[0]]
     for b, utt in enumerate(src):
         usable = utt.features[1:-1][:T]
         tgts[b, :len(usable)] = usable
