@@ -668,40 +668,78 @@ def run_halfphone_mode(args, extra: dict):
 
 
 # ------------------------------------------------------------ config #4 streaming
+def _drive_stream(synth, chunks, **kw):
+    """Run one streaming pass -> (per-chunk ms, total wall s, audio samples)."""
+    times, audio_samples = [], 0
+    t_all = time.time()
+    gen = synth.synth_streaming(iter(chunks), **kw)
+    while True:
+        t0 = time.time()
+        try:
+            piece = next(gen)
+        except StopIteration:
+            break
+        times.append(time.time() - t0)
+        audio_samples += len(piece)
+    return np.asarray(times) * 1e3, time.time() - t_all, audio_samples
+
+
 def run_streaming_mode(args, extra: dict, synth):
-    """Streaming latency on the 1M-unit voice: per-chunk wall time."""
+    """Streaming latency on the 1M-unit voice, BOTH input modes:
+    - config4 (as specified): FIXED-RATE DNN-style chunks — the predicted
+      lf0 integrates into an epoch grid incrementally across chunks, all
+      streams resample onto it, then preselect+greedy+OLA per chunk
+    - config4_natural: epoch-rate natural-feature chunks (round-2 variant)
+    """
     cfg = synth.cfg
     old_buckets = cfg.length_buckets
     cfg.length_buckets = [64]        # small chunks -> small compiled step
     try:
-        feats, _, _ = held_out_features(1, 96, seed0=92_000)
+        from snickery_tpu.features.world import resample_to_fixed
+        from snickery_tpu.features.epochs import detect_epochs
+
+        feats, waves, eps = held_out_features(1, 96, seed0=92_000)
         f = feats[0][1:-1]
         chunk_rows = args.stream_chunk
+
+        # ---- hybrid fixed-rate input (the DNN stand-in: natural features
+        # resampled to a 5 ms grid, as a Merlin-style model would emit) ----
+        fs = 0.005
+        fixed = resample_to_fixed(feats[0], np.asarray(eps[0]), SR, fs)
+        # ~chunk_rows epochs worth of frames per chunk (periods ~ hop)
+        frames_per_chunk = max(8, int(round(chunk_rows * 1.0)))
+        fchunks = [fixed[i:i + frames_per_chunk]
+                   for i in range(0, len(fixed), frames_per_chunk)]
+        list(synth.synth_streaming(iter(fchunks[:3]), fixed_frameshift=fs))
+        per_h, wall_h, samples_h = _drive_stream(
+            synth, fchunks, fixed_frameshift=fs)
+        ph = per_h[1:-1]
+        p50h, p95h = float(np.percentile(ph, 50)), float(np.percentile(ph, 95))
+        rtf_h = wall_h / (samples_h / SR)
+        log(f"config4 hybrid streaming ({len(fchunks)} fixed-rate chunks of "
+            f"{frames_per_chunk} frames @ {fs*1e3:.0f} ms): latency p50 "
+            f"{p50h:.1f} ms, p95 {p95h:.1f} ms, rtf {rtf_h:.5f}")
+        extra["config4"] = {"chunk_latency_p50_ms": p50h,
+                            "chunk_latency_p95_ms": p95h,
+                            "rtf": rtf_h,
+                            "input": "fixed_rate_dnn_style",
+                            "frameshift_ms": fs * 1e3,
+                            "chunk_frames": frames_per_chunk}
+
+        # ---- natural epoch-rate input (round-2 variant, kept) ----
         chunks = [f[i:i + chunk_rows] for i in range(0, len(f), chunk_rows)]
-        # warmup (compile) on the first chunk shape
-        warm = list(synth.synth_streaming(iter(chunks[:2])))
-        times, audio_samples = [], 0
-        t_all = time.time()
-        gen = synth.synth_streaming(iter(chunks))
-        while True:
-            t0 = time.time()
-            try:
-                piece = next(gen)
-            except StopIteration:
-                break
-            times.append(time.time() - t0)
-            audio_samples += len(piece)
-        wall_total = time.time() - t_all
-        per = np.asarray(times[1:-1]) * 1e3        # steady-state chunks
-        p50, p95 = float(np.percentile(per, 50)), float(np.percentile(per, 95))
+        list(synth.synth_streaming(iter(chunks[:2])))     # warm
+        per, wall_total, audio_samples = _drive_stream(synth, chunks)
+        pn = per[1:-1]
+        p50, p95 = float(np.percentile(pn, 50)), float(np.percentile(pn, 95))
         rtf_stream = wall_total / (audio_samples / SR)
-        log(f"config4 streaming ({len(chunks)} chunks of {chunk_rows} units, "
-            f"~{audio_samples/len(times)/SR*1e3:.0f} ms audio/chunk): "
+        log(f"config4-natural streaming ({len(chunks)} chunks of {chunk_rows} "
+            f"units, ~{audio_samples/len(per)/SR*1e3:.0f} ms audio/chunk): "
             f"latency p50 {p50:.1f} ms, p95 {p95:.1f} ms, rtf {rtf_stream:.5f}")
-        extra["config4"] = {"chunk_latency_p50_ms": p50,
-                            "chunk_latency_p95_ms": p95,
-                            "rtf": rtf_stream,
-                            "chunk_units": chunk_rows}
+        extra["config4_natural"] = {"chunk_latency_p50_ms": p50,
+                                    "chunk_latency_p95_ms": p95,
+                                    "rtf": rtf_stream,
+                                    "chunk_units": chunk_rows}
     finally:
         cfg.length_buckets = old_buckets
 

@@ -214,3 +214,88 @@ def fixed_to_epoch_targets(
         feats_fixed[:, lf0_column], sample_rate, frameshift)
     feats = resample_to_epochs(feats_fixed, epochs, sample_rate, frameshift)
     return feats, epochs
+
+
+class StreamingEpochResampler:
+    """Incremental :func:`fixed_to_epoch_targets`: fixed-rate DNN-output
+    chunks arrive one at a time, epoch-rate target rows come out as soon as
+    their surrounding frames exist.
+
+    This is the front half of BASELINE config #4 as specified ("DNN-
+    predicted target features ... STREAMING synthesis"): the lf0
+    integration phase ``t`` carries across chunk boundaries, so the
+    concatenated output is bit-identical to the one-shot batch conversion
+    (tests/test_features.py::test_streaming_resampler_matches_batch).
+
+    Protocol: ``push(frames) -> (E_i, d) rows``, then one ``flush()`` for
+    the tail (mirrors the batch function's end-of-signal clamping).
+    """
+
+    def __init__(self, lf0_column: int, sample_rate: int,
+                 frameshift: float = 0.005, fmin: float = 50.0,
+                 fmax: float = 500.0):
+        self.lf0_column = lf0_column
+        self.sr = sample_rate
+        self.hop = frameshift * sample_rate
+        self.fmin, self.fmax = fmin, fmax
+        self.buf = None              # retained fixed-rate frames
+        self.base = 0                # global index of buf[0]
+        self.n_seen = 0              # total frames received
+        self.t = 0.0                 # next epoch time (samples, unrounded)
+        self.epochs: list[int] = []  # emitted epoch positions (diagnostics)
+
+    def _row_at(self, e: float, clamp: bool) -> np.ndarray:
+        """Linear interpolation at (rounded) epoch position e, matching the
+        np.interp semantics of resample_to_epochs (f64 maths, last-value
+        clamping past the final frame)."""
+        n = self.n_seen
+        if (clamp and e >= (n - 1) * self.hop) or n == 1:
+            return np.asarray(self.buf[n - 1 - self.base], np.float32)
+        i = int(np.floor(e / self.hop))
+        a = self.buf[i - self.base].astype(np.float64)
+        b = self.buf[i + 1 - self.base].astype(np.float64)
+        slope = (b - a) / self.hop
+        return (a + slope * (e - i * self.hop)).astype(np.float32)
+
+    def _emit(self, limit_t: float, clamp: bool) -> np.ndarray:
+        out = []
+        while self.t < limit_t:
+            e = float(np.round(self.t))
+            out.append(self._row_at(e, clamp))
+            self.epochs.append(int(e))
+            idx = min(int(self.t / self.hop), self.n_seen - 1)
+            lf0 = float(self.buf[idx - self.base, self.lf0_column])
+            f0 = min(max(np.exp(lf0), self.fmin), self.fmax)
+            self.t += self.sr / f0
+        return (np.stack(out) if out
+                else np.zeros((0, self.buf.shape[1] if self.buf is not None
+                               else 0), np.float32))
+
+    def push(self, frames: np.ndarray) -> np.ndarray:
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim != 2:
+            raise ValueError("push expects (n_frames, d)")
+        self.buf = (frames if self.buf is None
+                    else np.concatenate([self.buf, frames]))
+        self.n_seen += len(frames)
+        # emit every epoch whose ROUNDED position has both interp
+        # neighbours in hand: round(t) <= t + 0.5, so stop half a sample
+        # short of the last complete frame interval
+        limit = (self.n_seen - 1) * self.hop - 0.5
+        out = self._emit(limit, clamp=False)
+        # drop frames no epoch can need again (floor((t - 0.5) / hop)) —
+        # clamped to frames actually received, else `base` would run ahead
+        # of the append position when t points past the available data
+        keep_from = min(max(self.base, int((self.t - 0.5) // self.hop)),
+                        self.n_seen)
+        if keep_from > self.base:
+            self.buf = self.buf[keep_from - self.base:]
+            self.base = keep_from
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Tail epochs up to the batch function's total = n * hop, with
+        end-of-signal clamping (np.interp holds the last frame value)."""
+        if self.buf is None or self.n_seen == 0:
+            return np.zeros((0, 0), np.float32)
+        return self._emit(self.n_seen * self.hop, clamp=True)

@@ -679,9 +679,9 @@ class Synthesiser:
         return results
 
     def synth_streaming(self, feature_chunks, greedy: bool = True,
-                        voice=None):
-        """Streaming synthesis: consume epoch-rate feature chunks, yield
-        audio chunks as soon as their units are decided.
+                        voice=None, fixed_frameshift: float = 0.0):
+        """Streaming synthesis: consume target feature chunks, yield audio
+        chunks as soon as their units are decided.
 
         BASELINE.json config #4 ("DNN-predicted target features + join
         costs, streaming synthesis").  Decoding is greedy-online per chunk
@@ -692,13 +692,45 @@ class Synthesiser:
         when enabled), greedy decode, chunk OLA — is ONE device program;
         the host only carries the 2*taper crossfade tail between chunks.
 
-        ``feature_chunks``: iterable of (n_epochs_i, d) arrays.
+        ``feature_chunks``: iterable of (n_i, d) arrays.  With the default
+        ``fixed_frameshift = 0`` they are epoch-rate trajectories; setting
+        ``fixed_frameshift > 0`` (seconds) declares them FIXED-RATE
+        DNN-style outputs (Merlin-shaped, config #4 as specified): the
+        predicted lf0 stream is integrated into a pitch-synchronous epoch
+        grid incrementally — the integration phase carries across chunk
+        boundaries (features.world.StreamingEpochResampler) — and every
+        stream is resampled onto it before decoding, chunk by chunk.
         ``voice``: required for multi-voice DBs — name or id to select from.
         Yields float32 audio arrays.
         """
         cfg = self.cfg
         if self.db.target_representation == "halfphone":
             raise NotImplementedError("streaming synthesis is epoch-mode only")
+        if fixed_frameshift and fixed_frameshift > 0:
+            from snickery_tpu.features.world import StreamingEpochResampler
+            lf0_col = None
+            for (name, a, b) in cfg.stream_slices:
+                if name == "lf0":
+                    lf0_col = a
+            if lf0_col is None:
+                raise ValueError(
+                    "fixed_frameshift streaming needs an lf0 stream to "
+                    "integrate the epoch grid from")
+            resampler = StreamingEpochResampler(
+                lf0_col, cfg.sample_rate, fixed_frameshift)
+
+            def epoch_chunks():
+                for chunk in feature_chunks:
+                    rows = resampler.push(np.asarray(chunk, np.float32))
+                    if len(rows):
+                        yield rows
+                rows = resampler.flush()
+                if len(rows):
+                    yield rows
+
+            yield from self.synth_streaming(
+                epoch_chunks(), greedy=greedy, voice=voice)
+            return
         if self.is_multivoice and voice is None:
             raise ValueError(
                 "this is a multi-voice DB: pass voice=<name or id> "

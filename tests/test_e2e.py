@@ -319,3 +319,35 @@ def test_epoch_agreement_vs_oracle_split3cat(epoch_voice):
     )
     agree = (ids_tpu == ids_ref).mean()
     assert agree >= 0.99, f"split3cat agreement vs oracle: {agree}"
+
+
+def test_streaming_hybrid_fixed_rate_matches_batch_conversion(epoch_voice):
+    """Config #4 as specified: fixed-rate DNN-style chunks stream in, the
+    epoch grid integrates incrementally, and the decode matches feeding the
+    one-shot batch conversion through the same epoch-rate streaming path."""
+    from snickery_tpu.features.world import (
+        fixed_to_epoch_targets, resample_to_fixed)
+    from tests.toyvoice import prepare_toy_utts
+
+    cfg, db, utts, synth = epoch_voice
+    utt = prepare_toy_utts(1, seed0=905)[0]
+    fs = 0.005
+    # natural epoch-rate features -> fixed-rate "DNN output" stand-in
+    fixed = resample_to_fixed(utt.features, utt.epochs, cfg.sample_rate, fs)
+    lf0_col = [a for (n, a, b) in cfg.stream_slices if n == "lf0"][0]
+
+    chunks = [fixed[i:i + 40] for i in range(0, len(fixed), 40)]
+    audio_stream = list(synth.synth_streaming(
+        iter(chunks), fixed_frameshift=fs))
+    ids_stream = np.concatenate(synth.last_stream_unit_ids)
+
+    ep_feats, _ = fixed_to_epoch_targets(fixed, lf0_col, cfg.sample_rate, fs)
+    ep_chunks = [ep_feats[i:i + 32] for i in range(0, len(ep_feats), 32)]
+    audio_ref = list(synth.synth_streaming(iter(ep_chunks)))
+    ids_ref = np.concatenate(synth.last_stream_unit_ids)
+
+    np.testing.assert_array_equal(ids_stream, ids_ref)
+    wave_a = np.concatenate(audio_stream)
+    wave_b = np.concatenate(audio_ref)
+    assert len(wave_a) == len(wave_b)
+    np.testing.assert_allclose(wave_a, wave_b, atol=1e-4)

@@ -169,3 +169,25 @@ def test_detect_epochs_batch_matches_serial():
     assert len(par) == len(serial)
     for a, b in zip(serial, par):
         np.testing.assert_array_equal(a, b)
+
+
+def test_streaming_resampler_matches_batch(rng):
+    """Incremental fixed-rate -> epoch conversion must reproduce the batch
+    conversion: identical epoch grid, rows equal to interpolation rounding
+    (the hybrid-streaming front half, BASELINE config #4)."""
+    from snickery_tpu.features.world import (
+        StreamingEpochResampler, fixed_to_epoch_targets)
+
+    N, d, lf0_col = 300, 9, 4
+    feats = rng.standard_normal((N, d)).astype(np.float32)
+    feats[:, lf0_col] = np.log(110 + 50 * np.sin(np.arange(N) / 25.0))
+    ref_feats, ref_epochs = fixed_to_epoch_targets(feats, lf0_col, 16000, 0.005)
+    for chunk in (1, 5, 37, N):
+        rs = StreamingEpochResampler(lf0_col, 16000, 0.005)
+        outs = [rs.push(feats[i:i + chunk]) for i in range(0, N, chunk)]
+        outs.append(rs.flush())
+        got = np.concatenate([o for o in outs if o.size], axis=0)
+        np.testing.assert_array_equal(
+            np.asarray(rs.epochs, np.int64), ref_epochs)
+        assert got.shape == ref_feats.shape
+        np.testing.assert_allclose(got, ref_feats, atol=2e-6)
