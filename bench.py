@@ -461,13 +461,154 @@ def run_toy_mode(args, extra: dict):
     f_nat = bulk_analyse([w_nat], [detect_epochs(w_nat, SR)])[0]
     r_nat = synth.synth_from_features(f_nat)
     mcd_nat = mel_cepstral_distortion(r_nat["wave"], w_nat, SR)
+    flux = _join_flux(synth, results[0])
     log(f"config1 toy voice ({db.n_units} units, ~5 min speech): "
         f"{lat:.0f} ms median per-utterance latency for ~{audio_s:.1f}s "
         f"audio (public API incl. host round trip); held-out MCD {mcd:.2f} dB "
-        f"(natural-reconstruction floor {mcd_nat:.2f} dB)")
+        f"(natural-reconstruction floor {mcd_nat:.2f} dB); join flux ratio "
+        f"{flux['ratio']:.2f}")
     extra["config1"] = {"latency_ms": lat, "n_units": db.n_units,
                         "audio_sec": audio_s, "held_out_mcd_db": mcd,
-                        "natural_reconstruction_mcd_db": float(mcd_nat)}
+                        "natural_reconstruction_mcd_db": float(mcd_nat),
+                        "join_flux_ratio": flux["ratio"],
+                        "n_nonnatural_joins": flux["n_joins"]}
+
+
+def _join_flux(synth, result) -> dict:
+    """Spectral flux at NON-natural join boundaries of one synthesis result
+    (corpus-consecutive units reconstruct the corpus exactly — only real
+    joins can pop).  Output-sample position of unit i's start = taper +
+    sum of previous spans."""
+    from snickery_tpu.evaluate import join_discontinuity
+    ids = np.asarray(result["unit_ids"])
+    cuts = synth.db.cutpoints
+    spans = (cuts[ids, 2] - cuts[ids, 1]).astype(np.int64)
+    starts = synth.cfg.taper_length + np.cumsum(spans) - spans
+    nonnat = np.nonzero(cuts[ids[1:], 1] != cuts[ids[:-1], 2])[0] + 1
+    out = join_discontinuity(result["wave"], synth.cfg.sample_rate,
+                             starts[nonnat])
+    return {"ratio": float(out["ratio"]), "n_joins": int(len(nonnat))}
+
+
+# ------------------------------------------------------------- 48 kHz voice
+def run_48k_mode(args, extra: dict):
+    """Config-#1-style toy voice at 48 kHz (VERDICT round 2, weak #9): epoch
+    rate, max_span and OLA geometry all scale 3x — this measures latency,
+    RTF and exact-pipeline agreement at the higher rate."""
+    from snickery_tpu import oracle
+    from snickery_tpu.features.epochs import detect_epochs_batch, f0_from_epochs
+    from snickery_tpu.features.magphase import magphase_analysis
+    from snickery_tpu.synth import Synthesiser
+    from snickery_tpu.voicedb.build import UtteranceData, build_voicedb
+
+    sr48 = 48000
+
+    def corpus48(n_utts, seed0):
+        import scipy.signal as sps
+        waves = []
+        for i in range(n_utts):
+            w, _ = gen_utterance(seed0 + i, 30)
+            waves.append(sps.resample_poly(w, 3, 1).astype(np.float32))
+        eps = detect_epochs_batch(waves, sr48)
+        utts = []
+        for i, (w, e) in enumerate(zip(waves, eps)):
+            streams = magphase_analysis(w, np.asarray(e, np.int64), sr48,
+                                        n_mag=DATADIMS["mag"],
+                                        n_phase=DATADIMS["real"])
+            f = np.concatenate([streams["mag"], streams["real"],
+                                streams["imag"], streams["lf0"]],
+                               axis=1).astype(np.float32)
+            f[:, -1:] = f0_from_epochs(e, sr48)
+            utts.append(UtteranceData(
+                basename=f"k{i:04d}", wave=w,
+                epochs=np.asarray(e, np.int32), features=f,
+                lf0=f0_from_epochs(e, sr48).reshape(-1)))
+        return utts
+
+    cfg = bench_config(voice_name="bench48k", sample_rate=sr48,
+                       length_buckets=[1024], taper_length=150)
+    db = get_voice("bench48k",
+                   lambda: build_voicedb(cfg, corpus48(24, 82_000)),
+                   cfg, args.rebuild)
+    synth = Synthesiser(cfg, db=db)
+    test_utts = corpus48(2, 86_000)
+    synth.synth_from_features(test_utts[0].features)         # compile
+    times, results = [], []
+    for i in range(4):
+        u = test_utts[i % len(test_utts)]
+        t0 = time.time()
+        r = synth.synth_from_features(u.features)
+        times.append(time.time() - t0)
+        if i < len(test_utts):
+            results.append(r)
+    lat = float(np.median(times)) * 1e3
+    audio_s = len(results[0]["wave"]) / sr48
+    rtf48 = (lat / 1e3) / audio_s
+    # agreement gate at 48 kHz: device pipeline vs float64 oracle
+    tgt, n_rows = synth.targets_from_features(test_utts[0].features)
+    tw, feats_w, jl, jr = oracle_arrays(db, synth, tgt)
+    ids_ref, _ = oracle.synth_pipeline(
+        tw, feats_w, jl, jr, n_candidates=cfg.n_candidates,
+        join_cost_weight=JCW, fast_preselect=True)
+    agree = float((results[0]["unit_ids"] == ids_ref).mean())
+    log(f"config-48k ({db.n_units} units @ 48 kHz): {lat:.0f} ms/utt "
+        f"({audio_s:.1f}s audio, rtf {rtf48:.5f}), oracle agreement {agree:.5f}")
+    extra["config_48k"] = {"latency_ms": lat, "rtf": rtf48,
+                           "n_units": db.n_units, "sample_rate": sr48,
+                           "agreement_vs_f64_oracle": agree}
+
+
+# --------------------------------------------- quality trend vs DB size
+def run_quality_mode(args, extra: dict, synth_1m=None):
+    """MCD + join-flux vs DB size (VERDICT round 2, weak #8): the
+    near-duplicate-substitution explanation for the held-out MCD gap
+    predicts MCD falling toward the natural-reconstruction floor as the
+    DB grows.  Three voices: ~33k (benchtoy), ~130k (benchmid), 1.15M
+    (reuses the config-#3 synthesiser when available)."""
+    from snickery_tpu.evaluate import mel_cepstral_distortion
+    from snickery_tpu.synth import Synthesiser
+    from snickery_tpu.voicedb.build import build_voicedb
+
+    feats, ref_waves, _ = held_out_features(3, 32, seed0=95_000)
+    trend = []
+
+    def eval_voice(name, synth):
+        mcds, fluxes = [], []
+        for f, w in zip(feats, ref_waves):
+            f = f[: 2 * synth.cfg.length_buckets[-1]]
+            r = synth.synth_from_features(f)
+            mcds.append(mel_cepstral_distortion(r["wave"], w, SR))
+            fluxes.append(_join_flux(synth, r)["ratio"])
+        row = {"voice": name, "n_units": synth.db.n_units,
+               "held_out_mcd_db": float(np.nanmean(mcds)),
+               "join_flux_ratio": float(np.nanmean(fluxes))}
+        trend.append(row)
+        log(f"quality[{name}]: {row['n_units']} units, "
+            f"MCD {row['held_out_mcd_db']:.2f} dB, "
+            f"flux ratio {row['join_flux_ratio']:.2f}")
+
+    cfg_toy = bench_config(voice_name="benchtoy", length_buckets=[512])
+    db_toy = get_voice(
+        "benchtoy",
+        lambda: build_voicedb(cfg_toy, make_corpus(50, 40, 70_000, False)),
+        cfg_toy, args.rebuild)
+    eval_voice("benchtoy", Synthesiser(cfg_toy, db=db_toy))
+
+    cfg_mid = bench_config(voice_name="benchmid", length_buckets=[512])
+    db_mid = get_voice(
+        "benchmid",
+        lambda: build_voicedb(cfg_mid, make_corpus(220, 40, 75_000, False)),
+        cfg_mid, args.rebuild)
+    eval_voice("benchmid", Synthesiser(cfg_mid, db=db_mid))
+
+    if synth_1m is not None:
+        old = synth_1m.cfg.length_buckets
+        synth_1m.cfg.length_buckets = [512]
+        try:
+            eval_voice("bench1m", synth_1m)
+        finally:
+            synth_1m.cfg.length_buckets = old
+    extra["quality_trend"] = trend
 
 
 # ----------------------------------------------------- config #3, multiepoch=2
@@ -844,11 +985,12 @@ def run_pallas_check(args, extra: dict):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes",
-                    default="epoch,pallas,halfphone,streaming,me2,multivoice,toy",
+                    default="epoch,pallas,halfphone,streaming,me2,multivoice,"
+                            "toy,48k,quality",
                     help="comma list: epoch,toy,me2,halfphone,streaming,"
-                         "multivoice,pallas (ordered by importance: the "
-                         "headline config + its fidelity gates run first so "
-                         "a budget/timeout cut loses only tail configs)")
+                         "multivoice,pallas,48k,quality (ordered by importance: "
+                         "the headline config + its fidelity gates run first "
+                         "so a budget/timeout cut loses only tail configs)")
     ap.add_argument("--units", type=int, default=1_048_576)
     ap.add_argument("--hp-units", type=int, default=50_000)
     ap.add_argument("--mv-units", type=int, default=262_144)
@@ -915,13 +1057,16 @@ def main(argv=None) -> int:
                      ("halfphone", run_halfphone_mode),
                      ("me2", run_me2_mode),
                      ("multivoice", run_multivoice_mode),
-                     ("toy", run_toy_mode)):
+                     ("toy", run_toy_mode),
+                     ("48k", run_48k_mode)):
         if name in modes:
             run_one(name, fn)
         if name == "pallas" and "streaming" in modes and synth is not None:
             # streaming reuses the epoch-mode synthesiser; run it early
             # (right after the fidelity gates) so a budget cut keeps it
             run_one("streaming", run_streaming_mode, synth)
+    if "quality" in modes:
+        run_one("quality", run_quality_mode, synth)
 
     extra["bench_elapsed_sec"] = round(elapsed(), 1)
     emit_final()

@@ -17,22 +17,33 @@ from snickery_tpu.voicedb.build import UtteranceData, build_voicedb
 
 SR = 16000
 
-PHONES = ["a", "e", "i", "o", "u", "s", "t", "k"]
-# crude 'formant' amplitude patterns per phone (harmonics 1..6)
-AMPS = {
-    "a": [0.5, 0.4, 0.3, 0.1, 0.05, 0.02],
-    "e": [0.5, 0.2, 0.4, 0.2, 0.05, 0.02],
-    "i": [0.4, 0.1, 0.1, 0.4, 0.2, 0.05],
-    "o": [0.6, 0.3, 0.1, 0.05, 0.02, 0.01],
-    "u": [0.6, 0.15, 0.05, 0.02, 0.01, 0.005],
-    "s": [0.05, 0.05, 0.1, 0.2, 0.3, 0.3],
-    "t": [0.1, 0.1, 0.2, 0.2, 0.2, 0.1],
-    "k": [0.2, 0.3, 0.1, 0.1, 0.1, 0.05],
+# 20 phone classes with formant-style spectra (VERDICT round 2, weak #8:
+# the old 8-phone stationary-spectrum corpus said little about real speech).
+# Vowels/sonorants: two 'formant' peaks over 12 harmonics that MOVE within
+# each segment; fricatives: mostly high-harmonic energy + noise; stops:
+# silence gap then a burst.  Deterministic per phone class.
+N_HARM = 12
+VOWELS = ["a", "e", "i", "o", "u", "ae", "ii", "uu", "oo", "er",
+          "m", "n", "l", "r", "w"]
+FRICS = ["s", "f", "sh", "z"]
+STOPS = ["t", "k"]
+PHONES = VOWELS + FRICS + STOPS
+# (formant-1 harmonic, formant-2 harmonic) start -> end per vowel-like phone
+_FMT = {
+    "a": ((2, 5), (2, 6)), "e": ((2, 7), (3, 7)), "i": ((1, 8), (1, 9)),
+    "o": ((1, 4), (2, 4)), "u": ((1, 3), (1, 2)), "ae": ((3, 6), (2, 6)),
+    "ii": ((1, 9), (2, 9)), "uu": ((1, 2), (1, 3)), "oo": ((2, 4), (1, 5)),
+    "er": ((2, 5), (3, 4)), "m": ((1, 2), (1, 2)), "n": ((1, 3), (1, 3)),
+    "l": ((2, 4), (2, 5)), "r": ((2, 3), (3, 3)), "w": ((1, 2), (2, 3)),
 }
 
 
 def synth_utterance(seed: int, n_segments: int = 8, seg_sec: float = 0.15):
-    """Random phone sequence -> (wave, segments) with per-segment envelopes."""
+    """Random phone sequence -> (wave, segments): harmonic stacks with
+    in-segment formant motion, per-segment amplitude envelopes, fricative
+    noise and stop gaps+bursts — variable pitch periods AND non-stationary
+    in-segment spectra, so near-duplicate units are rarer and MCD numbers
+    mean something (VERDICT round 2, weak #8)."""
     rng = np.random.default_rng(seed)
     phones = [PHONES[i] for i in rng.integers(0, len(PHONES), n_segments)]
     seg_len = int(seg_sec * SR)
@@ -41,13 +52,41 @@ def synth_utterance(seed: int, n_segments: int = 8, seg_sec: float = 0.15):
     f0 = 110.0 + 30.0 * np.sin(2 * np.pi * (0.4 + 0.2 * rng.random()) * t + rng.random() * 6)
     phase = 2 * np.pi * np.cumsum(f0) / SR
     wave = np.zeros(n)
+    u = np.linspace(0.0, 1.0, seg_len)           # in-segment position
+    # per-segment amplitude envelope: soft attack + decay
+    env = np.minimum(1.0, u / 0.12) * (1.0 - 0.35 * u)
     for si, ph in enumerate(phones):
         sl = slice(si * seg_len, (si + 1) * seg_len)
-        amps = AMPS[ph]
-        seg = sum(a * np.sin((h + 1) * phase[sl]) for h, a in enumerate(amps))
+        if ph in STOPS:
+            # closure silence then a decaying broadband burst
+            seg = np.zeros(seg_len)
+            b0 = int(0.55 * seg_len)
+            burst = rng.standard_normal(seg_len - b0) * np.exp(
+                -np.arange(seg_len - b0) / (0.012 * SR))
+            seg[b0:] = 0.5 * burst
+            # light voicing tail into the next phone
+            seg += 0.08 * np.sin(phase[sl]) * (u > 0.8)
+        elif ph in FRICS:
+            depth = {"s": 0.9, "f": 0.75, "sh": 0.8, "z": 0.55}[ph]
+            noise = rng.standard_normal(seg_len)
+            # crude spectral shaping: difference = high-pass-ish
+            noise = np.diff(noise, prepend=noise[:1])
+            seg = depth * 0.35 * noise
+            if ph == "z":                        # voiced fricative
+                seg += 0.25 * np.sin(phase[sl])
+            seg *= env
+        else:
+            (a1, a2), (b1, b2) = _FMT[ph]
+            f1 = a1 + (b1 - a1) * u              # formants glide in-segment
+            f2 = a2 + (b2 - a2) * u
+            h = np.arange(1, N_HARM + 1, dtype=np.float64)[:, None]
+            bump = (0.6 * np.exp(-0.5 * ((h - f1[None, :]) / 1.0) ** 2)
+                    + 0.4 * np.exp(-0.5 * ((h - f2[None, :]) / 1.2) ** 2))
+            amps = bump * (1.0 / np.sqrt(h))     # (N_HARM, seg_len)
+            seg = np.sum(amps * np.sin(h * phase[sl][None, :]), axis=0)
+            seg *= env
         wave[sl] = seg
-    # gentle fade at segment boundaries to avoid clicks
-    wave *= 0.9
+    wave *= 0.9 / max(np.abs(wave).max(), 1e-6) * 0.7
     segments = []
     for si, ph in enumerate(phones):
         s0 = si * seg_len / SR
