@@ -403,7 +403,12 @@ def pallas_topk_preselect(
     every remaining element; the iteration bound guarantees enough phases to
     extract k elements even in the degenerate all-in-one-block case.
     """
-    t_tile = T_TILE if t_tile is None else t_tile
+    T_rows = targets.shape[0]
+    if t_tile is None:
+        # larger tiles amortise per-grid-step overhead (scalar loop entry,
+        # state slicing): 512 measured 642 vs 682 ms at 65k rows x 1.15M
+        # units; small (streaming) row counts keep the 256 padding quantum
+        t_tile = 512 if T_rows % 512 == 0 and T_rows >= 512 else T_TILE
     chunk = CHUNK if chunk is None else chunk
     block = BLOCK if block is None else block
     assert chunk % block == 0

@@ -232,6 +232,41 @@ def topk_preselect(
     return idx, -neg
 
 
+def order_topk_positions(vals: jax.Array, ids: jax.Array, k: int) -> jax.Array:
+    """Positions of the k smallest (value, id) pairs per row, ascending —
+    an exact drop-in for ``jnp.lexsort((ids, vals), axis=-1)[:, :k]`` over
+    narrow candidate sets.
+
+    k argmin sweeps over the (T, n) set instead of a full two-key sort:
+    measured 27-35 ms (lexsort) -> ~2 ms at (65536, 40) on v5e.  Ties in
+    value break by lowest id, exactly the oracle's (value, index)
+    convention.  Rows whose entries are exhausted (all +inf AND already
+    extracted) repeat arbitrary positions — callers mask dead rows anyway.
+    """
+    T, n = vals.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, n), 1)
+    big = jnp.int32(2 ** 30)
+
+    def pick(i, st):
+        v, idd, outp = st
+        m = jnp.min(v, axis=1)
+        tied = v == m[:, None]
+        sel_id = jnp.min(jnp.where(tied, idd, big), axis=1)
+        hit = tied & (idd == sel_id[:, None])
+        pos = jnp.min(jnp.where(hit, iota, n), axis=1).astype(jnp.int32)
+        outp = outp.at[:, i].set(jnp.minimum(pos, n - 1))
+        # retire the extracted entry: value -> +inf AND id -> big (value
+        # alone is not enough — partition-starved slots are already inf)
+        v = jnp.where(hit, jnp.inf, v)
+        idd = jnp.where(hit, big, idd)
+        return v, idd, outp
+
+    _, _, outp = jax.lax.fori_loop(
+        0, min(k, n), pick,
+        (vals, ids.astype(jnp.int32), jnp.zeros((T, k), jnp.int32)))
+    return outp
+
+
 def quinphone_penalties(
     target_codes: jax.Array,       # (T,) int32 target halfphone codes
     target_contexts: jax.Array,    # (T, 5) int32 target quinphone codes

@@ -93,8 +93,13 @@ def viterbi_decode(
         return (new_cost, jr_t), best_prev
 
     init = (tc[0], join_right[0])
+    # unroll amortises the per-step scan dispatch overhead: the step body is
+    # tiny (one (N,dj)x(dj,N) matmul + (N,N) reductions, ~0.02 us of MXU)
+    # so T=2048 sequential steps are latency-bound (measured 54 ms -> the
+    # scan overhead dominates); unroll=8 trades compile size for it
     (final_cost, _), backptrs = jax.lax.scan(
-        step, init, (tc[1:], join_left[1:], join_right[1:], live[1:])
+        step, init, (tc[1:], join_left[1:], join_right[1:], live[1:]),
+        unroll=8,
     )
     # final state: best cost at the last *live* step.  Padded steps cost 0 and
     # keep backpointer chains intact, so argmin at T-1 equals argmin at
@@ -107,7 +112,8 @@ def viterbi_decode(
         return prev, state
 
     # reverse scan: ys[i] = state at step i+1, final carry = state at step 0
-    first_state, path_tail = jax.lax.scan(backtrack, last_state, backptrs, reverse=True)
+    first_state, path_tail = jax.lax.scan(backtrack, last_state, backptrs,
+                                          reverse=True, unroll=8)
     path = jnp.concatenate([first_state[None], path_tail]) if T > 1 else last_state[None]
     return path.astype(jnp.int32), total
 

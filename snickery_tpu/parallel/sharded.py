@@ -45,7 +45,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from snickery_tpu.ops.ola import overlap_add_units
-from snickery_tpu.ops.topk import preselect_margin, topk_preselect
+from snickery_tpu.ops.topk import (order_topk_positions, preselect_margin,
+                                   topk_preselect)
 from snickery_tpu.ops.viterbi import greedy_decode, viterbi_decode
 
 from snickery_tpu import utils
@@ -54,8 +55,9 @@ from snickery_tpu import utils
 class ShardedVoice(NamedTuple):
     """Device arrays of a voice DB placed on a (data, db) mesh."""
     feats: jax.Array      # (Mp, D) row-sharded over "db"
-    jl: jax.Array         # (Mp, dj) row-sharded over "db"
-    jr: jax.Array         # (Mp, dj) row-sharded over "db"
+    jlr: jax.Array        # (Mp, 2*dj) [left | right] join contexts,
+                          # concatenated (one candidate row gather + one
+                          # exchange instead of two), row-sharded over "db"
     cut1: jax.Array       # (Mp,) row-sharded over "db"
     cut2: jax.Array       # (Mp,) row-sharded over "db"
     waves: jax.Array      # (S,)  replicated (see module docstring budget note)
@@ -72,7 +74,9 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
                 sqrt_wt, part=None, codes=None, ctx=None) -> ShardedVoice:
     """Place padded DB arrays onto the mesh with the layout above.
 
-    ``feats`` must have rows divisible by the db-axis size.
+    ``feats`` must have rows divisible by the db-axis size.  Pass the join
+    contexts either separately (``jl``, ``jr``) or pre-concatenated as
+    ``jl`` (Mp, 2*dj) with ``jr=None``.
     """
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P("db", None))
@@ -80,10 +84,11 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
     put = jax.device_put
     mp = np.shape(feats)[0]
     feats_dev = put(jnp.asarray(feats, jnp.float32), rows)
+    jlr = jl if jr is None else np.concatenate(
+        [np.asarray(jl, np.float32), np.asarray(jr, np.float32)], axis=1)
     return ShardedVoice(
         feats=feats_dev,
-        jl=put(jnp.asarray(jl, jnp.float32), rows),
-        jr=put(jnp.asarray(jr, jnp.float32), rows),
+        jlr=put(jnp.asarray(jlr, jnp.float32), rows),
         cut1=put(jnp.asarray(cut1, jnp.int32), ids),
         cut2=put(jnp.asarray(cut2, jnp.int32), ids),
         waves=put(jnp.asarray(waves, jnp.float32), repl),
@@ -103,7 +108,7 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
 
 
 def _select_decode_batch(
-    feats_shard, jl_shard, jr_shard, cut1_shard, cut2_shard,
+    feats_shard, jlr_shard, cut1_shard, cut2_shard,
     part_shard, codes_shard, ctx_shard,
     targets, lengths, voice_ids, tgt_codes, tgt_ctx,
     *, n_cand, chunk, jcw, eps, db_axis, ndb, use_pallas=False,
@@ -202,8 +207,7 @@ def _select_decode_batch(
         # candidate payloads from the LOCAL row shards, exchanged with the
         # scores: after this each member holds ONLY its sub-batch's rows
         # but with candidates from every shard along axis 1
-        jl_cand = jl_shard[idx_local]                         # (B*T, k, dj)
-        jr_cand = jr_shard[idx_local]
+        jlr_cand = jlr_shard[idx_local]                       # (B*T, k, 2dj)
         c1_cand = cut1_shard[idx_local]                       # (B*T, k)
         c2_cand = cut2_shard[idx_local]
 
@@ -212,13 +216,13 @@ def _select_decode_batch(
                 x, db_axis, split_axis=0, concat_axis=1, tiled=True)
 
         all_rank, all_idx, all_ac = x2(rank_local), x2(idx_global), x2(ac_local)
-        all_jl, all_jr = x2(jl_cand), x2(jr_cand)
+        all_jlr = x2(jlr_cand)
         all_c1, all_c2 = x2(c1_cand), x2(c2_cand)
         my = jax.lax.axis_index(db_axis)
         len_sub = jax.lax.dynamic_slice_in_dim(lengths, my * b_sub, b_sub)
     else:
         all_rank, all_idx, all_ac = rank_local, idx_global, ac_local
-        all_jl = all_jr = all_c1 = all_c2 = None   # gathered after re-top-k
+        all_jlr = all_c1 = all_c2 = None           # gathered after re-top-k
         len_sub = lengths
 
     # global re-top-k + canonical candidate order in ONE lexsort: candidates
@@ -228,25 +232,25 @@ def _select_decode_batch(
     # is arbitrary and changes with tiling/selection internals.
     live_sub = (jnp.arange(T, dtype=jnp.int32)[None, :]
                 < len_sub[:, None])                               # (b_sub, T)
-    order = jnp.lexsort((all_idx, all_rank), axis=-1)[:, :n_cand]
+    order = order_topk_positions(all_rank, all_idx, n_cand)
     cand_idx = jnp.take_along_axis(all_idx, order, axis=-1)
     target_costs = jnp.take_along_axis(all_ac, order, axis=-1)
     target_costs = jnp.where(live_sub.reshape(-1, 1), target_costs, 0.0)
 
-    take3 = lambda x: jnp.take_along_axis(x, order[:, :, None], axis=1)
     if ndb > 1:
-        jl_sel, jr_sel = take3(all_jl), take3(all_jr)
+        jlr_sel = jnp.take_along_axis(all_jlr, order[:, :, None], axis=1)
         c1_sel = jnp.take_along_axis(all_c1, order, axis=-1)
         c2_sel = jnp.take_along_axis(all_c2, order, axis=-1)
     else:
         # single-shard fast path: gather only the n_cand kept candidates
         idx_sel = jnp.take_along_axis(idx_local, order, axis=-1)
-        jl_sel, jr_sel = jl_shard[idx_sel], jr_shard[idx_sel]
+        jlr_sel = jlr_shard[idx_sel]
         c1_sel, c2_sel = cut1_shard[idx_sel], cut2_shard[idx_sel]
 
     n_sel = cand_idx.shape[1]
-    jl_sel = jl_sel.reshape(b_sub, T, n_sel, -1)
-    jr_sel = jr_sel.reshape(b_sub, T, n_sel, -1)
+    dj = jlr_sel.shape[-1] // 2
+    jlr_sel = jlr_sel.reshape(b_sub, T, n_sel, 2 * dj)
+    jl_sel, jr_sel = jlr_sel[..., :dj], jlr_sel[..., dj:]
     cand_idx = cand_idx.reshape(b_sub, T, n_sel)
     target_costs = target_costs.reshape(b_sub, T, n_sel)
 
@@ -329,7 +333,7 @@ def batched_synth_step(
     if tgt_ctx is None:
         tgt_ctx = jnp.zeros((B, T, 5), jnp.int32)
 
-    def shard_fn(feats_shard, jl_shard, jr_shard, cut1_shard, cut2_shard,
+    def shard_fn(feats_shard, jlr_shard, cut1_shard, cut2_shard,
                  waves, mean_t, std_t,
                  sqrt_wt, part_shard, codes_shard, ctx_shard,
                  tgt_local, len_local, vid_local, tcodes_local, tctx_local,
@@ -339,7 +343,7 @@ def batched_synth_step(
         tw = tw * sqrt_wt[None, None, :]
 
         unit_ids, costs, cut1_path, cut2_path, len_sub = _select_decode_batch(
-            feats_shard, jl_shard, jr_shard, cut1_shard, cut2_shard,
+            feats_shard, jlr_shard, cut1_shard, cut2_shard,
             part_shard, codes_shard, ctx_shard,
             tw, len_local, vid_local, tcodes_local, tctx_local,
             n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis,
@@ -370,8 +374,7 @@ def batched_synth_step(
         mesh=mesh,
         in_specs=(
             P("db", None),            # feats
-            P("db", None),            # jl
-            P("db", None),            # jr
+            P("db", None),            # jlr
             P("db"), P("db"),         # cut1, cut2
             P(),                      # waves (replicated; see budget note)
             P(), P(), P(),            # mean_t, std_t, sqrt_wt
@@ -392,7 +395,7 @@ def batched_synth_step(
             P(("data", "db")),        # total samples
         ),
         check_vma=False,
-    )(voice.feats, voice.jl, voice.jr, voice.cut1, voice.cut2,
+    )(voice.feats, voice.jlr, voice.cut1, voice.cut2,
       voice.waves, voice.mean_t, voice.std_t, voice.sqrt_wt, voice.part,
       voice.codes, voice.ctx,
       targets, lengths, voice_ids, tgt_codes, tgt_ctx, jcw, eps)

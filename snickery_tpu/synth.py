@@ -24,7 +24,8 @@ import numpy as np
 from snickery_tpu import utils
 from snickery_tpu.config import SnickeryConfig
 from snickery_tpu.ops.ola import host_overlap_add, overlap_add_units
-from snickery_tpu.ops.topk import preselect_margin, topk_preselect
+from snickery_tpu.ops.topk import (order_topk_positions, preselect_margin,
+                                   topk_preselect)
 from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
 from snickery_tpu.voicedb.db import VoiceDB
 
@@ -58,8 +59,11 @@ class DeviceDB(NamedTuple):
     every process pay the (minutes-long, remote-compile) pipeline build.
     """
     feats: jax.Array        # (Mp, D) normalised + sqrt-weighted target features
-    jl: jax.Array           # (Mp, dj) normalised + sqrt-weighted left contexts
-    jr: jax.Array           # (Mp, dj) right contexts
+    jlr: jax.Array          # (Mp, 2*dj) [left | right] join contexts, normalised
+                            # + sqrt-weighted, CONCATENATED: candidate contexts
+                            # for Viterbi come from one row gather instead of
+                            # two (row-gather cost is per-row overhead-bound
+                            # on this hardware: 2M rows ~ 52 ms, bytes ~ 3 ms)
     cut1: jax.Array         # (Mp,)
     cut2: jax.Array         # (Mp,)
     waves: jax.Array        # (S,)
@@ -161,13 +165,14 @@ def synth_pipeline_step(
         from snickery_tpu.const import BIG_PENALTY
         mism = db.codes[cand_idx] != tgt_codes[:, None]
         ac = ac + jnp.float32(BIG_PENALTY) * mism
-    order = jnp.lexsort((cand_idx, rank), axis=-1)[:, :n_cand]
+    order = order_topk_positions(rank, cand_idx, n_cand)
     cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
     target_costs = jnp.take_along_axis(ac, order, axis=-1)
     target_costs = jnp.where(live[:, None], target_costs, 0.0)
 
-    jl_cand = db.jl[cand_idx]                                   # (T,N,dj)
-    jr_cand = db.jr[cand_idx]
+    jlr_cand = db.jlr[cand_idx]                                 # (T,N,2dj)
+    dj = db.jlr.shape[1] // 2
+    jl_cand, jr_cand = jlr_cand[..., :dj], jlr_cand[..., dj:]
     if greedy:
         path, total_cost = greedy_decode(
             target_costs, jl_cand, jr_cand, join_cost_weight=jcw, length=length,
@@ -246,12 +251,13 @@ def _streaming_step(
     diff = cand_feats - tw[:, None, :]
     ac = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
     ac = jnp.where(jnp.isinf(scores), jnp.inf, ac)
-    order = jnp.lexsort((cand_idx, ac), axis=-1)[:, :n_cand]
+    order = order_topk_positions(ac, cand_idx, n_cand)
     cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
     target_costs = jnp.where(
         live[:, None], jnp.take_along_axis(ac, order, axis=-1), 0.0)
-    jl_cand = db.jl[cand_idx]
-    jr_cand = db.jr[cand_idx]
+    jlr_cand = db.jlr[cand_idx]
+    dj = db.jlr.shape[1] // 2
+    jl_cand, jr_cand = jlr_cand[..., :dj], jlr_cand[..., dj:]
 
     def step(carry, inp):
         ctx, w = carry
@@ -378,8 +384,7 @@ class Synthesiser:
         # OLA runs in numpy after decode (ops.ola.host_overlap_add)
         self.device_db = DeviceDB(
             feats=put(feats),
-            jl=put(jl),
-            jr=put(jr),
+            jlr=put(np.concatenate([jl, jr], axis=1)),
             cut1=put(np.ascontiguousarray(cuts[:, 1])),
             cut2=put(np.ascontiguousarray(cuts[:, 2])),
             waves=put(np.asarray(db.waves, np.float32)
@@ -633,7 +638,7 @@ class Synthesiser:
                                    devices=devices)
             ddb = self.device_db
             self._sharded_voice = shard_voice(
-                self._mesh, ddb.feats, ddb.jl, ddb.jr, ddb.cut1, ddb.cut2,
+                self._mesh, ddb.feats, ddb.jlr, None, ddb.cut1, ddb.cut2,
                 ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
                 part=ddb.vids if self.is_multivoice else None,
                 codes=ddb.codes if halfphone else None,
@@ -804,7 +809,8 @@ class Synthesiser:
             unit_ids, ctx, audio, total = _streaming_step(
                 ddb, jnp.asarray(tgt_pad), jnp.int32(t_units),
                 jnp.asarray(codes),
-                (jnp.zeros((ddb.jl.shape[1],), jnp.float32) if ctx is None else ctx),
+                (jnp.zeros((ddb.jlr.shape[1] // 2,), jnp.float32)
+                 if ctx is None else ctx),
                 jnp.float32(0.0 if ctx is None else cfg.join_cost_weight),
                 jnp.float32(cfg.join_cost_weight),
                 n_cand=n_cand, chunk=self.chunk, use_pallas=use_pallas,

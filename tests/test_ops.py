@@ -242,3 +242,29 @@ def test_host_ola_matches_device(rng):
     total = int(total)
     assert len(host) == total
     np.testing.assert_allclose(np.asarray(out)[:total], host, atol=1e-5)
+
+
+def test_order_topk_positions_matches_lexsort(rng):
+    """The k-argmin ordering sweep must reproduce lexsort's (value, id)
+    ascending positions exactly, including inf (partition-starved) slots
+    as long as any finite entries remain."""
+    from snickery_tpu.ops.topk import order_topk_positions
+
+    T, n, k = 64, 40, 30
+    vals = rng.standard_normal((T, n)).astype(np.float32)
+    vals[vals > 1.2] = np.inf                  # some starved slots
+    vals[7] = np.tile(vals[7, :8], 5)          # heavy value ties
+    ids = np.argsort(rng.standard_normal((T, n)), axis=-1).astype(np.int32)
+    ref = np.asarray(jnp.lexsort((jnp.asarray(ids), jnp.asarray(vals)),
+                                 axis=-1))[:, :k]
+    got = np.asarray(order_topk_positions(jnp.asarray(vals),
+                                          jnp.asarray(ids), k))
+    # rows with >= k finite-or-unextracted entries must match exactly;
+    # compare via the (val, id) pairs they select (positions can differ
+    # only between identical pairs, which cannot exist here: ids unique)
+    np.testing.assert_array_equal(
+        np.take_along_axis(vals, ref, 1), np.take_along_axis(vals, got, 1))
+    finite = np.isfinite(np.take_along_axis(vals, ref, 1))
+    np.testing.assert_array_equal(
+        np.take_along_axis(ids, ref, 1)[finite],
+        np.take_along_axis(ids, got, 1)[finite])

@@ -27,8 +27,10 @@ def _padded_db_arrays(synth, n_db: int):
     mp = utils.next_multiple(feats.shape[0], synth.chunk * n_db)
     pad = mp - feats.shape[0]
     feats = np.pad(feats, ((0, pad), (0, 0)), constant_values=1e6)
-    jl = np.pad(np.asarray(ddb.jl), ((0, pad), (0, 0)))
-    jr = np.pad(np.asarray(ddb.jr), ((0, pad), (0, 0)))
+    jlr = np.asarray(ddb.jlr)
+    dj = jlr.shape[1] // 2
+    jl = np.pad(jlr[:, :dj], ((0, pad), (0, 0)))
+    jr = np.pad(jlr[:, dj:], ((0, pad), (0, 0)))
     cut1 = np.pad(np.asarray(ddb.cut1), (0, pad))
     cut2 = np.pad(np.asarray(ddb.cut2), (0, pad))
     return feats, jl, jr, cut1, cut2
