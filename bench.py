@@ -296,8 +296,10 @@ def run_epoch_mode(args, extra: dict):
     from snickery_tpu.voicedb.build import build_voicedb
 
     cfg = bench_config(voice_name="bench1m")
-    # ~1M units: 640 epoch units per 6 s utterance
-    n_utts = args.units // 600 if not args.quick else 24
+    # ~1M units: the round-3 corpus yields ~767 epoch units per 6 s
+    # utterance (measured; the formant-motion generator runs at a slightly
+    # higher epoch rate than the round-2 one)
+    n_utts = args.units // 767 if not args.quick else 24
     n_seg = 40
 
     db = get_voice(
@@ -375,7 +377,8 @@ def run_epoch_mode(args, extra: dict):
         f"{audio_sec:.1f} audio-sec/step, {units_per_sec:,.0f} lattice-steps/s")
     extra["config3"] = {"rtf": rtf, "ms_per_step": wall * 1e3,
                         "units_per_sec": units_per_sec,
-                        "audio_sec_per_step": audio_sec}
+                        "audio_sec_per_step": audio_sec,
+                        "n_units": db.n_units}
     # flush the headline number before the (minutes-long on a cold cache)
     # fidelity gates below — a timeout there must not lose the RTF
     _STATE["rtf"] = rtf
@@ -625,7 +628,7 @@ def run_me2_mode(args, extra: dict):
 
     cfg = bench_config(voice_name="bench1m_me2", multiepoch=2,
                        length_buckets=[1024])
-    n_utts = (2 * args.units) // 600 if not args.quick else 24
+    n_utts = (2 * args.units) // 767 if not args.quick else 24
 
     db = get_voice(
         "bench1m_me2" if not args.quick else "benchq_me2",
