@@ -86,6 +86,10 @@ class SnickeryConfig:
     # runs in numpy after decode — frees ~4 bytes/sample of HBM for voices
     # whose audio would not fit next to the unit DB (e.g. 48 kHz corpora).
     preload_all_waves: bool = True
+    # On-device corpus audio dtype: "float32" (exact) or "int16" (PCM-style
+    # quantisation at the corpus peak — halves the one replicated array's
+    # HBM at ~96 dB SNR; the OLA converts gathered rows on the fly).
+    waves_dtype: str = "float32"
 
     # ---- silence / trimming ----
     trim_silence: bool = False
@@ -126,6 +130,8 @@ class SnickeryConfig:
             raise ValueError(f"unknown join_cost_type {self.join_cost_type!r}")
         if self.magphase_overlap < 0:
             raise ValueError("magphase_overlap must be >= 0")
+        if self.waves_dtype not in ("float32", "int16"):
+            raise ValueError(f"unknown waves_dtype {self.waves_dtype!r}")
         # Broadcast scalar weights across streams.
         ns = len(self.stream_list)
         for attr in ("target_stream_weights", "join_stream_weights"):

@@ -97,13 +97,16 @@ def _rotate_rows_right(x: jax.Array, e: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("max_frag", "out_len", "taper"))
 def overlap_add_units(
-    waves: jax.Array,        # (total_samples,) corpus audio (HBM resident)
+    waves: jax.Array,        # (total_samples,) corpus audio (HBM resident;
+                             # f32, or int16 at wave_scale quantisation)
     cut_start: jax.Array,    # (U,) int — anchor sample (cut1) per selected unit
     cut_end: jax.Array,      # (U,) int — end sample (cut2) per selected unit
     n_units: jax.Array,      # scalar int — actual number of live units (<= U)
     max_frag: int,           # static: max fragment length incl. 2*taper
     out_len: int,            # static: output buffer length
     taper: int,
+    wave_scale: jax.Array | float = 1.0,   # audio = waves * wave_scale
+                             # (config waves_dtype="int16": scale = peak/32767)
 ) -> tuple[jax.Array, jax.Array]:
     """Concatenate selected units -> (audio (out_len,), total_samples scalar).
 
@@ -123,7 +126,8 @@ def overlap_add_units(
     pad = (-n) % 128
     if pad:
         # bandwidth-bound copy (~1 ms/GB) — callers may pre-pad to skip it
-        waves = jnp.concatenate([waves, jnp.zeros((pad,), waves.dtype)])
+        waves = jnp.concatenate(
+            [waves, jnp.zeros((pad,), waves.dtype)])
     waves2d = waves.reshape(-1, 128)
     n_rows_corpus = waves2d.shape[0]
 
@@ -143,7 +147,11 @@ def overlap_add_units(
     rows = sq[:, None] + jnp.arange(rows_per, dtype=jnp.int32)[None, :]
     rows_ok = (rows >= 0) & (rows < n_rows_corpus) & live[:, None]
     x = waves2d[jnp.clip(rows, 0, n_rows_corpus - 1)]            # (U, R, 128)
-    x = (x * rows_ok[:, :, None].astype(jnp.float32)).reshape(U, W)
+    # int16 corpora convert on the fly (the gather moves half the bytes);
+    # the scale folds into the row mask multiply
+    x = (x.astype(jnp.float32)
+         * (rows_ok[:, :, None].astype(jnp.float32)
+            * jnp.float32(wave_scale))).reshape(U, W)
 
     # window + fragment mask, computed from index arithmetic (no gather):
     # read-window index i holds fragment position pos = i - sr

@@ -60,7 +60,8 @@ class ShardedVoice(NamedTuple):
                           # exchange instead of two), row-sharded over "db"
     cut1: jax.Array       # (Mp,) row-sharded over "db"
     cut2: jax.Array       # (Mp,) row-sharded over "db"
-    waves: jax.Array      # (S,)  replicated (see module docstring budget note)
+    waves: jax.Array      # (S,)  replicated (f32 or int16; see budget note)
+    wave_scale: jax.Array # scalar f32: audio = waves * wave_scale
     mean_t: jax.Array     # (D,)  replicated
     std_t: jax.Array      # (D,)  replicated
     sqrt_wt: jax.Array    # (D,)  replicated
@@ -71,7 +72,8 @@ class ShardedVoice(NamedTuple):
 
 
 def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
-                sqrt_wt, part=None, codes=None, ctx=None) -> ShardedVoice:
+                sqrt_wt, part=None, codes=None, ctx=None,
+                wave_scale=1.0) -> ShardedVoice:
     """Place padded DB arrays onto the mesh with the layout above.
 
     ``feats`` must have rows divisible by the db-axis size.  Pass the join
@@ -91,7 +93,8 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
         jlr=put(jnp.asarray(jlr, jnp.float32), rows),
         cut1=put(jnp.asarray(cut1, jnp.int32), ids),
         cut2=put(jnp.asarray(cut2, jnp.int32), ids),
-        waves=put(jnp.asarray(waves, jnp.float32), repl),
+        waves=put(jnp.asarray(waves), repl),
+        wave_scale=put(jnp.float32(wave_scale), repl),
         mean_t=put(jnp.asarray(mean_t, jnp.float32), repl),
         std_t=put(jnp.asarray(std_t, jnp.float32), repl),
         sqrt_wt=put(jnp.asarray(sqrt_wt, jnp.float32), repl),
@@ -334,7 +337,7 @@ def batched_synth_step(
         tgt_ctx = jnp.zeros((B, T, 5), jnp.int32)
 
     def shard_fn(feats_shard, jlr_shard, cut1_shard, cut2_shard,
-                 waves, mean_t, std_t,
+                 waves, wave_scale, mean_t, std_t,
                  sqrt_wt, part_shard, codes_shard, ctx_shard,
                  tgt_local, len_local, vid_local, tcodes_local, tctx_local,
                  jcw_, eps_):
@@ -357,7 +360,8 @@ def batched_synth_step(
             def ola_one(c1, c2, len_one):
                 return overlap_add_units(
                     waves, c1, c2, n_units=len_one,
-                    max_frag=max_frag, out_len=out_len, taper=taper)
+                    max_frag=max_frag, out_len=out_len, taper=taper,
+                    wave_scale=wave_scale)
 
             audio, totals = jax.vmap(ola_one)(cut1_path, cut2_path, len_sub)
         else:
@@ -377,6 +381,7 @@ def batched_synth_step(
             P("db", None),            # jlr
             P("db"), P("db"),         # cut1, cut2
             P(),                      # waves (replicated; see budget note)
+            P(),                      # wave_scale
             P(), P(), P(),            # mean_t, std_t, sqrt_wt
             P("db"),                  # part (voice ids, row-sharded)
             P("db"),                  # halfphone codes, row-sharded
@@ -396,7 +401,8 @@ def batched_synth_step(
         ),
         check_vma=False,
     )(voice.feats, voice.jlr, voice.cut1, voice.cut2,
-      voice.waves, voice.mean_t, voice.std_t, voice.sqrt_wt, voice.part,
+      voice.waves, voice.wave_scale, voice.mean_t, voice.std_t,
+      voice.sqrt_wt, voice.part,
       voice.codes, voice.ctx,
       targets, lengths, voice_ids, tgt_codes, tgt_ctx, jcw, eps)
 

@@ -66,7 +66,8 @@ class DeviceDB(NamedTuple):
                             # on this hardware: 2M rows ~ 52 ms, bytes ~ 3 ms)
     cut1: jax.Array         # (Mp,)
     cut2: jax.Array         # (Mp,)
-    waves: jax.Array        # (S,)
+    waves: jax.Array        # (S,) f32, or int16 (config waves_dtype)
+    wave_scale: jax.Array   # scalar f32: audio = waves * wave_scale
     mean_t: jax.Array       # (D,)
     std_t: jax.Array        # (D,)
     sqrt_wt: jax.Array      # (D,)
@@ -187,7 +188,8 @@ def synth_pipeline_step(
     if do_ola:
         audio, total_samples = overlap_add_units(
             db.waves, db.cut1[unit_ids], db.cut2[unit_ids], n_units=length,
-            max_frag=max_frag, out_len=out_len, taper=taper)
+            max_frag=max_frag, out_len=out_len, taper=taper,
+            wave_scale=db.wave_scale)
     else:
         spans = jnp.where(live, db.cut2[unit_ids] - db.cut1[unit_ids], 0)
         total_samples = 2 * taper + jnp.sum(spans)
@@ -278,7 +280,8 @@ def _streaming_step(
     if do_ola:
         audio, total = overlap_add_units(
             db.waves, db.cut1[unit_ids], db.cut2[unit_ids], n_units=length,
-            max_frag=max_frag, out_len=out_len, taper=taper)
+            max_frag=max_frag, out_len=out_len, taper=taper,
+            wave_scale=db.wave_scale)
     else:
         spans = jnp.where(live, db.cut2[unit_ids] - db.cut1[unit_ids], 0)
         total = 2 * taper + jnp.sum(spans)
@@ -381,14 +384,27 @@ class Synthesiser:
                           constant_values=-1)
         # preload_all_waves=False keeps the corpus audio on host (the VoiceDB
         # loads it mmap-backed); the device sees a tiny placeholder and the
-        # OLA runs in numpy after decode (ops.ola.host_overlap_add)
+        # OLA runs in numpy after decode (ops.ola.host_overlap_add).
+        # waves_dtype="int16" quantises at the corpus peak (halves the one
+        # replicated array's HBM; ~96 dB SNR).
+        wave_scale = np.float32(1.0)
+        if not cfg.preload_all_waves:
+            waves_dev = np.zeros(128, np.float32)
+        elif cfg.waves_dtype == "int16":
+            w32 = np.asarray(db.waves, np.float32)
+            peak = float(np.abs(w32).max()) if len(w32) else 1.0
+            wave_scale = np.float32(max(peak, 1e-9) / 32767.0)
+            waves_dev = np.clip(np.round(w32 / wave_scale),
+                                -32768, 32767).astype(np.int16)
+        else:
+            waves_dev = np.asarray(db.waves, np.float32)
         self.device_db = DeviceDB(
             feats=put(feats),
             jlr=put(np.concatenate([jl, jr], axis=1)),
             cut1=put(np.ascontiguousarray(cuts[:, 1])),
             cut2=put(np.ascontiguousarray(cuts[:, 2])),
-            waves=put(np.asarray(db.waves, np.float32)
-                      if cfg.preload_all_waves else np.zeros(128, np.float32)),
+            waves=put(waves_dev),
+            wave_scale=put(wave_scale),
             mean_t=put(db.mean_target.astype(np.float32)),
             std_t=put(db.std_target.astype(np.float32)),
             sqrt_wt=put(self._sqrt_wt),
@@ -642,7 +658,8 @@ class Synthesiser:
                 ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
                 part=ddb.vids if self.is_multivoice else None,
                 codes=ddb.codes if halfphone else None,
-                ctx=ddb.ctx if halfphone else None)
+                ctx=ddb.ctx if halfphone else None,
+                wave_scale=ddb.wave_scale)
         out_len = utils.next_multiple(
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
         voice_ids = None

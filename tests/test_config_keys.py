@@ -204,3 +204,23 @@ def test_greedy_synth_batch_matches_single(epoch_voice):
     for s, b in zip(singles, batch):
         np.testing.assert_array_equal(s["unit_ids"], b["unit_ids"])
         assert s["total_cost"] == pytest.approx(b["total_cost"], rel=1e-5)
+
+
+# --------------------------------------------------------------- waves_dtype
+def test_waves_dtype_validation():
+    with pytest.raises(ValueError):
+        SnickeryConfig(waves_dtype="int8")
+
+
+def test_waves_dtype_int16(epoch_voice):
+    """int16 on-device audio: identical unit selection, waveform equal to
+    the f32 path within one quantisation step of the corpus peak."""
+    cfg, db, utts, synth = epoch_voice
+    c2 = dataclasses.replace(cfg, waves_dtype="int16")
+    synth16 = Synthesiser(c2, db=db)
+    assert synth16.device_db.waves.dtype == np.int16
+    r32 = synth.synth_from_features(utts[0].features)
+    r16 = synth16.synth_from_features(utts[0].features)
+    np.testing.assert_array_equal(r32["unit_ids"], r16["unit_ids"])
+    q = float(np.abs(np.asarray(db.waves)).max()) / 32767.0
+    np.testing.assert_allclose(r32["wave"], r16["wave"], atol=2 * q)
