@@ -770,7 +770,7 @@ def run_halfphone_mode(args, extra: dict):
     # ---- float64-oracle agreement for the halfphone path (utterance 0) ----
     if not args.skip_oracle:
         from snickery_tpu import oracle
-        from snickery_tpu.const import BIG_PENALTY
+        from snickery_tpu.const import ID_RANK_PENALTY
         segs0 = segs_list[0]
         n0 = len(feats_list[0])
         codes_t = np.asarray(
@@ -783,7 +783,7 @@ def run_halfphone_mode(args, extra: dict):
         # identity penalty enters BOTH preselect ranking and the lattice
         # target costs (the fallback rule — see synth.synth_pipeline_step);
         # context penalties are preselect-ranking only
-        id_pen = (codes_t[:, None] != db.unit_code[None, :]) * float(BIG_PENALTY)
+        id_pen = (codes_t[:, None] != db.unit_code[None, :]) * float(ID_RANK_PENALTY)
         pen = id_pen.copy()
         for c, w in enumerate(ctx_w):
             if w:
@@ -802,7 +802,7 @@ def run_halfphone_mode(args, extra: dict):
         ids_ref, was_cached = cached_oracle_ids(
             "benchhp" if not args.quick else "benchhpq",
             db, feats_list[0],
-            f"k{cfg.n_candidates}|jcw{JCW}|hp2|{synth._ling_weights()}", compute)
+            f"k{cfg.n_candidates}|jcw{JCW}|hp3|{synth._ling_weights()}", compute)
         ids_tpu = results[0]["unit_ids"][:n0]
         agree_hp = float((ids_tpu == ids_ref).mean())
         log(f"config2 agreement vs float64 oracle ({n0} halfphone targets "

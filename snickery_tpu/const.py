@@ -25,7 +25,7 @@ HALFPHONE_TAGS = ("L", "R")
 UNVOICED_LF0 = -1.0e10
 
 # Quinphone linguistic-preselection penalties (halfphone mode).  A wrong
-# halfphone identity costs BIG_PENALTY; context mismatches cost
+# halfphone identity costs ID_RANK_PENALTY; context mismatches cost
 # weight * QUINPHONE_SCALE so that immediate neighbours (weight 10)
 # dominate second-order context (weight 1) and any context mismatch
 # outranks acoustic distance.  The centre weight is 0 because the centre
@@ -35,6 +35,21 @@ UNVOICED_LF0 = -1.0e10
 # quinphone_penalty_scale.
 QUINPHONE_CONTEXT_WEIGHTS = (1.0, 10.0, 0.0, 10.0, 1.0)
 QUINPHONE_SCALE = 100.0
+
+# Halfphone-identity penalty in the preselect RANKING scores.  2^24: large
+# enough that every identity-mismatched unit ranks after every same-name
+# unit (it dominates the largest context tier, 2^23 in backoff mode, plus
+# any realistic squared distance on normalised features, ~1e5), yet small
+# enough that f32 ulp at the shifted scores is 2.0 — so the ACOUSTIC
+# ordering among mismatched units survives the shift and the fallback
+# candidate pool (steps whose same-name pool is exhausted) matches the
+# float64 oracle's, up to boundary noise the preselect margin + exact
+# rescoring already absorb.  BIG_PENALTY (1e10, f32 ulp 1024) here would
+# absorb the acoustic order entirely and id-order the fallback pool
+# (measured: 0.9625 vs 1.000 halfphone oracle agreement).  NOT used for
+# lattice costs — the lattice applies the identity rule as a mask
+# (synth.synth_pipeline_step).
+ID_RANK_PENALTY = float(2 ** 24)
 
 # Default sample rate (Hz) — reference voices are 16 kHz or 48 kHz.
 DEFAULT_SAMPLE_RATE = 16000

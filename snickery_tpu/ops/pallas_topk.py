@@ -161,14 +161,15 @@ def _compute_scores(mm_precision, has_part, has_ling, ling_weights,
         s = jnp.where(mismatch, jnp.inf, s)
     if has_ling:
         # fused quinphone penalties (halfphone mode): identical maths to
-        # ops.topk.quinphone_penalties — BIG_PENALTY for a halfphone
-        # identity mismatch + weight*scale per context-slot mismatch, so
-        # scores match the XLA fallback path bit-for-bit.
+        # ops.topk.quinphone_penalties — ID_RANK_PENALTY for a halfphone
+        # identity mismatch (order-preserving in f32; see const.py) +
+        # weight*scale per context-slot mismatch, so scores match the XLA
+        # fallback path bit-for-bit.
         dl = dling_ref[0]                              # (CHUNK, 8) int32
         tl = tling_ref[0]                              # (8, T_TILE) int32
-        from snickery_tpu.const import BIG_PENALTY
+        from snickery_tpu.const import ID_RANK_PENALTY
         code_mism = dl[:, 0:1] != tl[0:1, :]           # (CHUNK, T_TILE)
-        s = s + jnp.where(code_mism, jnp.float32(BIG_PENALTY), 0.0)
+        s = s + jnp.where(code_mism, jnp.float32(ID_RANK_PENALTY), 0.0)
         *ctx_w, scale = ling_weights
         for c, w in enumerate(ctx_w):
             if w == 0.0:

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from snickery_tpu.const import BIG_PENALTY, PRESELECT_MARGIN
+from snickery_tpu.const import ID_RANK_PENALTY, PRESELECT_MARGIN
 
 
 def preselect_margin(use_pallas: bool, mm_precision: str,
@@ -37,11 +37,12 @@ def preselect_margin(use_pallas: bool, mm_precision: str,
     The Pallas kernel RANKS with bf16-split matmuls for split3/split3cat;
     selecting k + margin and keeping the exact-f32 top-k after rescoring
     absorbs ranking error at the rank-k boundary (see const.PRESELECT_MARGIN).
-    Exact paths need no margin.  Halfphone mode gets none either: its final
-    keep is by the SAME penalty-polluted kernel scores that ranked the
-    preselect, so extra slots cannot change the kept set.
+    Exact paths need no margin.  Halfphone mode follows the same design:
+    its final keep is by :func:`halfphone_exact_rank` (exact f32 squared
+    distance + exact penalty constants), so margin slots rescue same-name
+    and fallback candidates the approximate kernel ranking misplaced.
     """
-    if use_pallas and mm_precision != "highest" and not halfphone:
+    if use_pallas and mm_precision != "highest":
         return PRESELECT_MARGIN
     return 0
 
@@ -267,19 +268,73 @@ def order_topk_positions(vals: jax.Array, ids: jax.Array, k: int) -> jax.Array:
     return outp
 
 
+def halfphone_exact_rank(
+    sq_exact: jax.Array,        # (..., k) exact f32 squared distances
+    kernel_scores: jax.Array,   # (..., k) kernel scores (inf = dead slot)
+    mism: jax.Array,            # (..., k) bool identity mismatch
+    ctx_cand: jax.Array,        # (..., k, 5) candidate quinphone codes
+    tgt_ctx: jax.Array,         # (..., 5) target quinphone codes
+    ling_weights: tuple | None,
+) -> jax.Array:
+    """Exact-f32 ranking key for pooled halfphone candidates.
+
+    The kernel RANKS with (possibly bf16-split) approximate scores; the
+    final keep + candidate order must instead use the exact f32 version of
+    the same key — squared distance + linguistic penalties — so that the
+    pool boundary and the Viterbi tie-break order match the float64
+    oracle's single-sum (sq + penalty) convention, with the preselect
+    margin absorbing kernel-ranking noise at the boundary (the same design
+    as epoch mode's exact rescoring).  Penalty constants are exact in f32
+    (powers of two / small products), so the only quantisation left is the
+    +2^24 identity shift on mismatched candidates (ulp 2.0 — see
+    const.ID_RANK_PENALTY).
+    """
+    from snickery_tpu.const import (ID_RANK_PENALTY, QUINPHONE_CONTEXT_WEIGHTS,
+                                    QUINPHONE_SCALE)
+    if ling_weights is None:
+        ling_weights = (*QUINPHONE_CONTEXT_WEIGHTS, QUINPHONE_SCALE)
+    *ctx_w, scale = ling_weights
+    pen = jnp.float32(ID_RANK_PENALTY) * mism
+    cmism = ctx_cand != tgt_ctx[..., None, :]
+    for c, w in enumerate(ctx_w):
+        if w:
+            pen = pen + jnp.float32(w * scale) * cmism[..., c]
+    return jnp.where(jnp.isinf(kernel_scores), jnp.inf, sq_exact + pen)
+
+
+def halfphone_lattice_mask(ac: jax.Array, mism: jax.Array) -> jax.Array:
+    """Identity fallback rule on lattice target costs, in MASK form.
+
+    Mismatched candidates are excluded (BIG_PENALTY) ONLY at steps where a
+    live same-name candidate exists; at steps where the same-name pool is
+    exhausted the acoustic costs stay untouched, so the acoustically best
+    fallback wins exactly as in the float64 oracle.  (An additive
+    BIG_PENALTY is equivalent in exact arithmetic — a constant added to
+    every candidate of a step shifts all paths equally — but in f32 it
+    absorbs the acoustic detail the fallback choice depends on: f32 ulp at
+    1e10 is 1024.  Measured: 0.9625 vs 1.000 halfphone oracle agreement.)
+    """
+    from snickery_tpu.const import BIG_PENALTY
+    has_match = jnp.any(~mism & jnp.isfinite(ac), axis=-1)
+    return jnp.where(mism & has_match[..., None],
+                     jnp.maximum(ac, jnp.float32(BIG_PENALTY)), ac)
+
+
 def quinphone_penalties(
     target_codes: jax.Array,       # (T,) int32 target halfphone codes
     target_contexts: jax.Array,    # (T, 5) int32 target quinphone codes
     db_codes: jax.Array,           # (M,) int32
     db_contexts: jax.Array,        # (M, 5) int32
-    code_mismatch_penalty: float = BIG_PENALTY,
+    code_mismatch_penalty: float = ID_RANK_PENALTY,
     context_weights: tuple[float, ...] | None = None,
     scale: float | None = None,
 ) -> jax.Array:
     """(T, M) additive penalties for linguistic preselection.
 
-    A hard penalty when the halfphone identity differs (the reference's
-    halfphone mode only considers same-name units, SURVEY.md §2 row 3), plus
+    A dominating-but-order-preserving penalty when the halfphone identity
+    differs (the reference's halfphone mode only considers same-name units,
+    SURVEY.md §2 row 3 — see const.ID_RANK_PENALTY for why the value must
+    stay within f32 mantissa reach of the acoustic scores), plus
     graded penalties for quinphone context mismatches — immediate neighbours
     (weight 10) dominate second-order context (weight 1), implementing the
     reference's back-off matching as a ranking score.  The scale makes any

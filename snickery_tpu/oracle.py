@@ -205,7 +205,17 @@ def synth_pipeline(
     else:
         tc = np.sqrt(np.maximum(cand_sq, 0.0))
     if lattice_penalty is not None:
-        tc = tc + np.take_along_axis(lattice_penalty, cand_idx, axis=1)
+        # MASK semantics (matches synth.synth_pipeline_step): a penalised
+        # candidate is excluded (BIG) only at steps where an unpenalised
+        # candidate exists; at steps where every candidate is penalised the
+        # costs stay untouched so the acoustically best fallback wins.
+        # (Adding the penalty instead is equivalent in exact arithmetic —
+        # a constant added to every candidate of a step shifts all paths
+        # equally — but would make the device's f32 costs absorb the
+        # acoustic detail the fallback choice depends on.)
+        pen = np.take_along_axis(lattice_penalty, cand_idx, axis=1)
+        has_match = (pen == 0).any(axis=1)
+        tc = np.where((pen > 0) & has_match[:, None], np.maximum(tc, BIG), tc)
     jl = db_jl_w[cand_idx]
     jr = db_jr_w[cand_idx]
     if use_greedy:

@@ -45,7 +45,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from snickery_tpu.ops.ola import overlap_add_units
-from snickery_tpu.ops.topk import (order_topk_positions, preselect_margin,
+from snickery_tpu.ops.topk import (halfphone_exact_rank,
+                                   halfphone_lattice_mask,
+                                   order_topk_positions, preselect_margin,
                                    topk_preselect)
 from snickery_tpu.ops.viterbi import greedy_decode, viterbi_decode
 
@@ -193,18 +195,28 @@ def _select_decode_batch(
     # (partition-starved slots) stay inf.
     cand_feats = feats_shard[idx_local]                           # (B*T, k, D)
     diff = cand_feats - tw_flat[:, None, :]
-    ac_local = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    sq_local = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+    ac_local = jnp.sqrt(sq_local)
     ac_local = jnp.where(jnp.isinf(scores_local), jnp.inf, ac_local)
+    mism_local = None
     if halfphone:
-        # identity fallback penalty in the lattice (same rule + rationale
-        # as synth.synth_pipeline_step — see the comment there)
-        from snickery_tpu.const import BIG_PENALTY
-        mism = codes_shard[idx_local] != tgt_codes.reshape(B * T)[:, None]
-        ac_local = ac_local + jnp.float32(BIG_PENALTY) * mism
-    # ranking key: halfphone keeps the penalty-polluted kernel scores (the
-    # quinphone penalties decide WHO preselects); epoch mode ranks by the
-    # exact distance itself
-    rank_local = scores_local if halfphone else ac_local
+        # identity fallback rule in the lattice (same MASK semantics +
+        # rationale as synth.synth_pipeline_step — see halfphone_lattice_
+        # mask).  "A same-name candidate exists at this step" must be
+        # decided on the GLOBAL candidate set, so the flags travel through
+        # the exchange and the mask is applied after the re-top-k merge.
+        mism_local = (codes_shard[idx_local]
+                      != tgt_codes.reshape(B * T)[:, None])
+        # ranking key: exact-f32 (squared distance + linguistic penalty),
+        # replacing the approximate kernel scores — pool boundary and
+        # candidate order then match the float64 oracle (see
+        # ops.topk.halfphone_exact_rank)
+        rank_local = halfphone_exact_rank(
+            sq_local, scores_local, mism_local, ctx_shard[idx_local],
+            tgt_ctx.reshape(B * T, 5), ling_weights)
+    else:
+        # epoch mode ranks by the exact distance itself
+        rank_local = ac_local
 
     if ndb > 1:
         # candidate payloads from the LOCAL row shards, exchanged with the
@@ -221,11 +233,13 @@ def _select_decode_batch(
         all_rank, all_idx, all_ac = x2(rank_local), x2(idx_global), x2(ac_local)
         all_jlr = x2(jlr_cand)
         all_c1, all_c2 = x2(c1_cand), x2(c2_cand)
+        all_mism = (x2(mism_local.astype(jnp.int32)) if halfphone else None)
         my = jax.lax.axis_index(db_axis)
         len_sub = jax.lax.dynamic_slice_in_dim(lengths, my * b_sub, b_sub)
     else:
         all_rank, all_idx, all_ac = rank_local, idx_global, ac_local
         all_jlr = all_c1 = all_c2 = None           # gathered after re-top-k
+        all_mism = (mism_local.astype(jnp.int32) if halfphone else None)
         len_sub = lengths
 
     # global re-top-k + canonical candidate order in ONE lexsort: candidates
@@ -238,6 +252,14 @@ def _select_decode_batch(
     order = order_topk_positions(all_rank, all_idx, n_cand)
     cand_idx = jnp.take_along_axis(all_idx, order, axis=-1)
     target_costs = jnp.take_along_axis(all_ac, order, axis=-1)
+    if halfphone:
+        # identity fallback MASK on the merged global candidate set (see
+        # ops.topk.halfphone_lattice_mask for the f32-precision rationale):
+        # the ranking puts every same-name candidate ahead of every
+        # mismatched one (ID_RANK_PENALTY dominates the ranking key), so
+        # deciding on the kept n_cand equals deciding on the full pool.
+        mism_sel = jnp.take_along_axis(all_mism, order, axis=-1) != 0
+        target_costs = halfphone_lattice_mask(target_costs, mism_sel)
     target_costs = jnp.where(live_sub.reshape(-1, 1), target_costs, 0.0)
 
     if ndb > 1:

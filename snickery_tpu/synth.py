@@ -24,7 +24,9 @@ import numpy as np
 from snickery_tpu import utils
 from snickery_tpu.config import SnickeryConfig
 from snickery_tpu.ops.ola import host_overlap_add, overlap_add_units
-from snickery_tpu.ops.topk import (order_topk_positions, preselect_margin,
+from snickery_tpu.ops.topk import (halfphone_exact_rank,
+                                   halfphone_lattice_mask,
+                                   order_topk_positions, preselect_margin,
                                    topk_preselect)
 from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
 from snickery_tpu.voicedb.db import VoiceDB
@@ -146,26 +148,30 @@ def synth_pipeline_step(
     # lattice must see exact distances, and Viterbi breaks exact ties by
     # candidate position so the order must match the float64 oracle's
     # (value, index) convention (see parallel/sharded.py for the measured
-    # agreement impact of each).  Halfphone ranks by the penalty-polluted
-    # kernel scores (penalties decide WHO preselects); epoch mode by the
-    # exact distance itself.
+    # agreement impact of each).  Halfphone mode re-ranks by the exact-f32
+    # (squared distance + linguistic penalty) key (ops.topk.
+    # halfphone_exact_rank); epoch mode by the exact distance itself.
     cand_feats = db.feats[cand_idx]                             # (T,N,D)
     diff = cand_feats - tw[:, None, :]
-    ac = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    sq_exact = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+    ac = jnp.sqrt(sq_exact)
     ac = jnp.where(jnp.isinf(scores), jnp.inf, ac)
-    rank = scores if halfphone else ac
     if halfphone:
-        # The identity penalty follows mismatched candidates into the
-        # LATTICE: preselect slots left over after the same-name pool is
-        # exhausted (small voices / rare halfphones) are filled by other
-        # units, which must only ever win when no same-name candidate
-        # exists at that step — not on acoustics alone.  Context (quinphone)
-        # penalties stay preselect-only, as in the reference's linguistic
-        # preselection (SURVEY.md §2 row 3: matching decides the pool, not
-        # the target cost).  oracle.synth_pipeline applies the same rule.
-        from snickery_tpu.const import BIG_PENALTY
         mism = db.codes[cand_idx] != tgt_codes[:, None]
-        ac = ac + jnp.float32(BIG_PENALTY) * mism
+        rank = halfphone_exact_rank(sq_exact, scores, mism,
+                                    db.ctx[cand_idx], tgt_ctx, ling_weights)
+        # Identity fallback rule in the LATTICE costs, in MASK form:
+        # preselect slots left over after the same-name pool is exhausted
+        # (small voices / rare halfphones) are filled by other units, which
+        # must only ever win when no same-name candidate exists at that
+        # step — not on acoustics alone.  Context (quinphone) penalties
+        # stay preselect-only, as in the reference's linguistic
+        # preselection (SURVEY.md §2 row 3: matching decides the pool, not
+        # the target cost).  oracle.synth_pipeline applies the same rule;
+        # see halfphone_lattice_mask for the f32-precision rationale.
+        ac = halfphone_lattice_mask(ac, mism)
+    else:
+        rank = ac
     order = order_topk_positions(rank, cand_idx, n_cand)
     cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
     target_costs = jnp.take_along_axis(ac, order, axis=-1)

@@ -351,3 +351,80 @@ def test_streaming_hybrid_fixed_rate_matches_batch_conversion(epoch_voice):
     wave_b = np.concatenate(audio_ref)
     assert len(wave_a) == len(wave_b)
     np.testing.assert_allclose(wave_a, wave_b, atol=1e-4)
+
+
+def test_halfphone_fallback_keeps_f32_precision():
+    """Identity rule: lattice MASK + order-preserving ranking penalty.
+
+    Two lattice steps on a hand-built 256-unit halfphone DB (only units
+    8 and 9 carry the step-0 name; nothing carries the step-1 name):
+    - step 0: the same-name pool (2 units) is smaller than n_cand, so
+      mismatched units fill the remaining slots — one of them acoustically
+      closer than every same-name unit.  It must still lose (lattice mask).
+    - step 1: NO same-name unit exists anywhere (pool exhausted): the
+      acoustically best fallback must win.  Its id (5) is ABOVE the ids of
+      four slightly-worse fallbacks (0..3), and all five squared distances
+      lie within one f32 ulp of BIG_PENALTY (1e10 -> 1024): ranking with
+      sq + 1e10 absorbs the acoustic order, id-orders the pool, drops unit
+      5, and picks unit 0 — the round-3 bench regression (halfphone oracle
+      agreement 0.9625).  With const.ID_RANK_PENALTY (2^24, ulp 2.0) the
+      acoustic order survives the shift.
+    The float64 oracle applies the identical rules; ids must match exactly.
+    """
+    import jax.numpy as jnp
+
+    from snickery_tpu.const import ID_RANK_PENALTY
+    from snickery_tpu.synth import DeviceDB, synth_pipeline_step
+
+    d, M, T, k = 4, 256, 2, 4
+    feats = np.full((M, d), 100.0, np.float32)
+    feats[0] = [11.0, 0, 0, 0]     # code 7: step-1 sq 121
+    feats[1] = [12.0, 0, 0, 0]     # code 7: step-1 sq 144
+    feats[2] = [13.0, 0, 0, 0]     # code 7: step-1 sq 169
+    feats[3] = [14.0, 0, 0, 0]     # code 7: step-1 sq 196
+    feats[5] = [10.0, 0, 0, 0]     # code 7: step-1 sq 100 -- best fallback,
+    #                                id above the absorbed-tie pool cutoff
+    feats[8] = [0, 90.0, 0, 0]     # code 0: step-0 dist 103.0
+    feats[9] = [0, 89.0, 0, 0]     # code 0: step-0 dist 102.1 -> wins step 0
+    codes = np.full(M, 7, np.int32)
+    codes[8] = codes[9] = 0
+    ctx = np.zeros((M, 5), np.int32)
+
+    targets = np.zeros((T, d), np.float32)
+    targets[0] = [50.0, 0, 0, 0]   # mismatched unit 0 is CLOSER (39 < 102)
+    tgt_codes = np.asarray([0, 3], np.int32)   # step 1: no unit has code 3
+    tgt_ctx = np.zeros((T, 5), np.int32)
+
+    taper = 4
+    cut1 = (np.arange(M, dtype=np.int32) * 8) + 16
+    cut2 = cut1 + 8
+    db = DeviceDB(
+        feats=jnp.asarray(feats),
+        jlr=jnp.zeros((M, 2 * d), jnp.float32),
+        cut1=jnp.asarray(cut1), cut2=jnp.asarray(cut2),
+        waves=jnp.zeros(int(cut2[-1]) + 64, jnp.float32),
+        wave_scale=jnp.float32(1.0),
+        mean_t=jnp.zeros(d, jnp.float32), std_t=jnp.ones(d, jnp.float32),
+        sqrt_wt=jnp.ones(d, jnp.float32),
+        codes=jnp.asarray(codes), ctx=jnp.asarray(ctx),
+        vids=jnp.zeros(M, jnp.int32),
+    )
+    unit_ids, _, _, _ = synth_pipeline_step(
+        db, jnp.asarray(targets), jnp.int32(T), jnp.asarray(tgt_codes),
+        jnp.asarray(tgt_ctx), jnp.zeros(T, jnp.int32),
+        jnp.float32(0.0), jnp.float32(0.0),
+        n_cand=k, chunk=M, greedy=False, halfphone=True,
+        max_frag=8 + 2 * taper, out_len=128, taper=taper)
+    ids_dev = np.asarray(unit_ids)
+
+    # float64 oracle with the same (identity-only) linguistic penalties
+    id_pen = (tgt_codes[:, None] != codes[None, :]) * float(ID_RANK_PENALTY)
+    ids_ref, _ = oracle.synth_pipeline(
+        targets.astype(np.float64), feats.astype(np.float64),
+        np.zeros((M, d)), np.zeros((M, d)),
+        n_candidates=k, join_cost_weight=0.0,
+        extra=id_pen, lattice_penalty=id_pen)
+
+    assert ids_dev[0] == 9, f"same-name unit must win step 0, got {ids_dev[0]}"
+    assert ids_dev[1] == 5, f"best fallback must win step 1, got {ids_dev[1]}"
+    np.testing.assert_array_equal(ids_dev, ids_ref)
