@@ -15,10 +15,23 @@ import numpy as np
 from snickery_tpu.features.mel import mfcc
 
 _MCD_CONST = 10.0 / np.log(10.0) * np.sqrt(2.0)
+# MCD analysis parameters, chosen for robustness on peaky/harmonic material
+# (swept on the synthetic bench corpus): a LONG window (64 ms) and WIDE mel
+# bands (25) integrate several harmonics per band, and a relative -60 dB
+# band floor stops empty between-harmonic bands flipping to the numerical
+# floor — together they cut framing/alignment noise (self-vs-shifted-self
+# MCD 11.4 -> 5.6 dB) while keeping cross-content separation (~60 dB).
+_MCD_FRAME = 1024
+_MCD_HOP = 256
+_MCD_NMELS = 25
+_MCD_FLOOR_DB = 60.0
 
 
 def _mfcc(wave: np.ndarray, sr: int, n_ceps: int = 13) -> np.ndarray:
-    return np.asarray(mfcc(np.asarray(wave, np.float32), sr, n_ceps=n_ceps))
+    return np.asarray(mfcc(np.asarray(wave, np.float32), sr, n_ceps=n_ceps,
+                           n_mels=_MCD_NMELS, frame_len=_MCD_FRAME,
+                           hop=_MCD_HOP, n_fft=_MCD_FRAME,
+                           floor_db=_MCD_FLOOR_DB))
 
 
 def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -60,12 +73,36 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(path_i[::-1]), np.asarray(path_j[::-1])
 
 
+def _speech_mask(wave: np.ndarray, n_frames: int,
+                 frame_len: int = _MCD_FRAME, hop: int = _MCD_HOP,
+                 floor_db: float = 40.0) -> np.ndarray:
+    """(n_frames,) bool: frames whose RMS is within floor_db of the peak.
+
+    Standard MCD practice computes over SPEECH frames only: in silences and
+    stop gaps the log-mel energies sit at the numerical floor, and their
+    frame-to-frame swings dominate the cepstral distance (measured: 49 dB
+    held-out MCD on the stop-gap-rich round-3 corpus vs ~13 dB
+    speech-only), drowning the envelope differences the metric is for."""
+    n = len(wave)
+    rms = np.empty(n_frames, np.float32)
+    for t in range(n_frames):
+        seg = wave[t * hop: min(t * hop + frame_len, n)]
+        rms[t] = np.sqrt(np.mean(seg * seg)) if len(seg) else 0.0
+    peak = rms.max() if n_frames else 0.0
+    if peak <= 0:
+        return np.zeros(n_frames, bool)
+    return rms > peak * 10.0 ** (-floor_db / 20.0)
+
+
 def mel_cepstral_distortion(
     synth_wave: np.ndarray, ref_wave: np.ndarray, sr: int, n_ceps: int = 13
 ) -> float:
-    """MCD (dB) between two waveforms, DTW-aligned, c0 (energy) excluded."""
-    a = _mfcc(synth_wave, sr, n_ceps)[:, 1:]
-    b = _mfcc(ref_wave, sr, n_ceps)[:, 1:]
+    """MCD (dB) between two waveforms: speech frames only (see
+    :func:`_speech_mask`), DTW-aligned, c0 (energy) excluded."""
+    a = _mfcc(synth_wave, sr, n_ceps)
+    b = _mfcc(ref_wave, sr, n_ceps)
+    a = a[_speech_mask(np.asarray(synth_wave, np.float32), len(a))][:, 1:]
+    b = b[_speech_mask(np.asarray(ref_wave, np.float32), len(b))][:, 1:]
     if len(a) < 2 or len(b) < 2:
         return float("nan")
     cost = np.sqrt(
@@ -83,10 +120,12 @@ def join_discontinuity(
     Returns dict(boundary_flux, interior_flux, ratio); a ratio near 1 means
     joins are as smooth as natural frame-to-frame evolution.
     """
-    from snickery_tpu.features.stft import stft
+    from snickery_tpu.features.stft import stft_mag
 
     hop = width // 2
-    spec = np.abs(np.asarray(stft(np.asarray(wave, np.float32), width, hop)))
+    # stft_mag, not abs(stft(...)): fetching a complex64 array is
+    # UNIMPLEMENTED on the tunnelled TPU runtime (see features/stft.py)
+    spec = np.asarray(stft_mag(np.asarray(wave, np.float32), width, hop))
     if len(spec) < 3:
         return {"boundary_flux": float("nan"), "interior_flux": float("nan"),
                 "ratio": float("nan")}

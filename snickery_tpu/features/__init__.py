@@ -10,7 +10,7 @@ REAPER — SURVEY.md §1 L0/L2) with native JAX implementations:
 - ``epochs``:   pitch epoch (GCI) detection + f0 tracking (REAPER fallback)
 """
 
-from snickery_tpu.features.stft import frame_signal, stft, istft, hann
+from snickery_tpu.features.stft import frame_signal, stft, stft_mag, istft, hann
 from snickery_tpu.features.mel import mel_filterbank, mfcc, log_mel_spectrogram
 from snickery_tpu.features.magphase import (
     magphase_analysis,
@@ -21,7 +21,7 @@ from snickery_tpu.features.epochs import (
 from snickery_tpu.features.smoothing import smooth_joins
 
 __all__ = [
-    "frame_signal", "stft", "istft", "hann",
+    "frame_signal", "stft", "stft_mag", "istft", "hann",
     "mel_filterbank", "mfcc", "log_mel_spectrogram",
     "magphase_analysis", "magphase_synthesis",
     "detect_epochs", "detect_epochs_batch", "f0_from_epochs",

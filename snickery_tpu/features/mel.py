@@ -62,7 +62,9 @@ def dct_matrix(n_mels: int, n_ceps: int) -> np.ndarray:
     return mat.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "frame_len", "hop", "n_fft", "sample_rate"))
+@functools.partial(jax.jit, static_argnames=("n_mels", "frame_len", "hop",
+                                             "n_fft", "sample_rate",
+                                             "floor_db"))
 def log_mel_spectrogram(
     wave: jax.Array,
     sample_rate: int,
@@ -70,16 +72,27 @@ def log_mel_spectrogram(
     frame_len: int = 400,
     hop: int = 160,
     n_fft: int = 512,
+    floor_db: float | None = None,
 ) -> jax.Array:
-    """(n_frames, n_mels) log-mel energies."""
+    """(n_frames, n_mels) log-mel energies.
+
+    ``floor_db``: clamp band energies at ``max(mel) * 10^(-floor_db/10)``
+    (a RELATIVE floor) instead of the absolute 1e-10.  Evaluation metrics
+    need this: on peaky/harmonic material, bands between harmonics sit at
+    the numerical floor and flip by tens of nats as harmonics cross band
+    edges, drowning real envelope differences (see evaluate.py)."""
     spec = stft(wave, frame_len, hop, n_fft)
     power = jnp.abs(spec) ** 2
     fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sample_rate))
     mel = jnp.dot(power, fb, preferred_element_type=jnp.float32)
-    return jnp.log(jnp.maximum(mel, 1e-10))
+    floor = (jnp.float32(1e-10) if floor_db is None
+             else jnp.maximum(jnp.max(mel) * 10.0 ** (-floor_db / 10.0), 1e-30))
+    return jnp.log(jnp.maximum(mel, floor))
 
 
-@functools.partial(jax.jit, static_argnames=("n_ceps", "n_mels", "frame_len", "hop", "n_fft", "sample_rate"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_ceps", "n_mels", "frame_len", "hop", "n_fft", "sample_rate",
+    "floor_db"))
 def mfcc(
     wave: jax.Array,
     sample_rate: int,
@@ -88,8 +101,10 @@ def mfcc(
     frame_len: int = 400,
     hop: int = 160,
     n_fft: int = 512,
+    floor_db: float | None = None,
 ) -> jax.Array:
-    """(n_frames, n_ceps) MFCCs."""
-    logmel = log_mel_spectrogram(wave, sample_rate, n_mels, frame_len, hop, n_fft)
+    """(n_frames, n_ceps) MFCCs (``floor_db``: see log_mel_spectrogram)."""
+    logmel = log_mel_spectrogram(wave, sample_rate, n_mels, frame_len, hop,
+                                 n_fft, floor_db)
     dct = jnp.asarray(dct_matrix(n_mels, n_ceps))
     return jnp.dot(logmel, dct, preferred_element_type=jnp.float32)

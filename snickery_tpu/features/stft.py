@@ -45,10 +45,30 @@ def frame_signal(wave: jax.Array, frame_len: int, hop: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("frame_len", "hop", "n_fft"))
 def stft(wave: jax.Array, frame_len: int, hop: int, n_fft: int | None = None) -> jax.Array:
-    """STFT -> complex (n_frames, n_fft//2 + 1)."""
+    """STFT -> complex (n_frames, n_fft//2 + 1).
+
+    NOTE (TPU runtime): complex64 arrays cannot cross the host<->device
+    boundary on the tunnelled TPU runtime used here (UNIMPLEMENTED at
+    transfer, and the client wedges afterwards) — complex is fine INSIDE a
+    jitted program but must not be an input or fetched output.  Call this
+    from within a larger jit whose outputs are real (log_mel_spectrogram,
+    magphase_analysis_frames), or use :func:`stft_mag` when only the
+    magnitude is needed host-side.
+    """
     n_fft = n_fft or frame_len
     frames = frame_signal(wave, frame_len, hop) * hann(frame_len, wave.dtype)
     return jnp.fft.rfft(frames, n=n_fft, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_len", "hop", "n_fft"))
+def stft_mag(wave: jax.Array, frame_len: int, hop: int,
+             n_fft: int | None = None) -> jax.Array:
+    """|STFT| -> float32 (n_frames, n_fft//2 + 1).
+
+    One jitted program whose complex intermediates never materialise on the
+    host — the TPU-safe entry point for magnitude spectra (see the note on
+    :func:`stft`)."""
+    return jnp.abs(stft(wave, frame_len, hop, n_fft))
 
 
 @functools.partial(jax.jit, static_argnames=("frame_len", "hop", "n_samples"))

@@ -191,3 +191,20 @@ def test_streaming_resampler_matches_batch(rng):
             np.asarray(rs.epochs, np.int64), ref_epochs)
         assert got.shape == ref_feats.shape
         np.testing.assert_allclose(got, ref_feats, atol=2e-6)
+
+
+def test_stft_mag_matches_abs_stft(toy_wave):
+    """stft_mag is the TPU-safe magnitude entry point: complex64 arrays
+    cannot cross the host<->device boundary on the tunnelled TPU runtime
+    (UNIMPLEMENTED at transfer), so |STFT| must be computable in ONE jitted
+    program with a real output.  On CPU both paths work; they must agree."""
+    import numpy as np
+
+    from snickery_tpu.features.stft import stft, stft_mag
+
+    wave, _sr = toy_wave
+    w = np.asarray(wave[:4096], np.float32)
+    m = np.asarray(stft_mag(w, 256, 128))
+    ref = np.abs(np.asarray(stft(w, 256, 128)))
+    assert m.dtype == np.float32
+    np.testing.assert_allclose(m, ref, atol=1e-5)
