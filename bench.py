@@ -988,12 +988,14 @@ def run_pallas_check(args, extra: dict):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes",
-                    default="epoch,pallas,halfphone,streaming,me2,multivoice,"
-                            "toy,48k,quality",
+                    default="epoch,pallas,halfphone,streaming,multivoice,"
+                            "toy,48k,quality,me2",
                     help="comma list: epoch,toy,me2,halfphone,streaming,"
                          "multivoice,pallas,48k,quality (ordered by importance: "
                          "the headline config + its fidelity gates run first "
-                         "so a budget/timeout cut loses only tail configs)")
+                         "so a budget/timeout cut loses only tail configs; "
+                         "me2 costs a second 1M-unit device upload and runs "
+                         "dead last)")
     ap.add_argument("--units", type=int, default=1_048_576)
     ap.add_argument("--hp-units", type=int, default=50_000)
     ap.add_argument("--mv-units", type=int, default=262_144)
@@ -1033,14 +1035,20 @@ def main(argv=None) -> int:
     utils.enable_compilation_cache()
     import jax
     log(f"device: {jax.devices()[0]}")
+    # absorb the axon tunnel's first-transfer stall (49-210 s, payload-
+    # independent) concurrently with voice-cache loading
+    utils.warm_transfer()
 
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     synth = None
 
-    def run_one(name, fn, *fn_args):
-        if over_budget():
+    def run_one(name, fn, *fn_args, reserve=0.0):
+        # reserve = measured worst-case cost of the mode (device upload +
+        # compile + steps); a mode that cannot finish inside the budget is
+        # skipped up front instead of blowing through it mid-upload
+        if over_budget(reserve):
             log(f"{name} mode SKIPPED: budget {_STATE['budget']:.0f}s "
-                f"exceeded ({elapsed():.0f}s elapsed)")
+                f"exceeded ({elapsed():.0f}s elapsed, reserve {reserve:.0f}s)")
             extra[name + "_skipped"] = "budget"
             return None
         try:
@@ -1056,20 +1064,24 @@ def main(argv=None) -> int:
         out = run_one("epoch", run_epoch_mode)
         if out is not None:
             _STATE["rtf"], synth = out
-    for name, fn in (("pallas", run_pallas_check),
-                     ("halfphone", run_halfphone_mode),
-                     ("me2", run_me2_mode),
-                     ("multivoice", run_multivoice_mode),
-                     ("toy", run_toy_mode),
-                     ("48k", run_48k_mode)):
+    # ordered by importance: the five BASELINE configs + their fidelity
+    # gates first; me2 (a bonus datapoint costing a second 1M-unit device
+    # upload) dead last so tunnel-throughput bad luck can only cost extras
+    for name, fn, reserve in (("pallas", run_pallas_check, 30.0),
+                              ("halfphone", run_halfphone_mode, 60.0),
+                              ("multivoice", run_multivoice_mode, 120.0),
+                              ("toy", run_toy_mode, 90.0),
+                              ("48k", run_48k_mode, 90.0)):
         if name in modes:
-            run_one(name, fn)
+            run_one(name, fn, reserve=reserve)
         if name == "pallas" and "streaming" in modes and synth is not None:
             # streaming reuses the epoch-mode synthesiser; run it early
             # (right after the fidelity gates) so a budget cut keeps it
-            run_one("streaming", run_streaming_mode, synth)
+            run_one("streaming", run_streaming_mode, synth, reserve=60.0)
     if "quality" in modes:
-        run_one("quality", run_quality_mode, synth)
+        run_one("quality", run_quality_mode, synth, reserve=150.0)
+    if "me2" in modes:
+        run_one("me2", run_me2_mode, reserve=240.0)
 
     extra["bench_elapsed_sec"] = round(elapsed(), 1)
     emit_final()

@@ -321,6 +321,10 @@ class Synthesiser:
     # ------------------------------------------------------------------ setup
     def _prepare_device_db(self) -> None:
         cfg, db = self.cfg, self.db
+        # fire the tiny session-warmup transfer FIRST: its 49-210 s axon
+        # tunnel stall (utils.warm_transfer) runs concurrently with all the
+        # host-side feature prep below
+        utils.warm_transfer()
         d = cfg.target_dim
         k = self.frames_per_unit
 
@@ -362,7 +366,9 @@ class Synthesiser:
         self._preselect_method()
 
         dev = jax.devices()[0]
-        put = functools.partial(jax.device_put, device=dev)
+        # chunked upload: ~5x monolithic throughput on the axon tunnel and
+        # keeps signal handlers responsive during multi-GB transfers
+        put = functools.partial(utils.chunked_device_put, device=dev)
         # merged multi-voice DBs carry voice_ids + voice_names (voicedb/multivoice.py)
         self.is_multivoice = db.is_multivoice
         if self.is_multivoice:

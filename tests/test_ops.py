@@ -268,3 +268,19 @@ def test_order_topk_positions_matches_lexsort(rng):
     np.testing.assert_array_equal(
         np.take_along_axis(ids, ref, 1)[finite],
         np.take_along_axis(ids, got, 1)[finite])
+
+
+def test_chunked_device_put_matches_plain(rng):
+    from snickery_tpu import utils
+
+    # tiny chunk_bytes forces the multi-part path; values must round-trip
+    # bit-exactly and concatenate back to the full array
+    a = rng.standard_normal((1000, 7)).astype(np.float32)
+    x = utils.chunked_device_put(a, chunk_bytes=7 * 4 * 100)
+    np.testing.assert_array_equal(np.asarray(x), a)
+    w = rng.integers(-32768, 32767, size=10_001).astype(np.int16)
+    y = utils.chunked_device_put(w, chunk_bytes=1024)
+    np.testing.assert_array_equal(np.asarray(y), w)
+    # small arrays and scalars take the plain path
+    s = utils.chunked_device_put(np.float32(2.5))
+    assert float(np.asarray(s)) == 2.5
