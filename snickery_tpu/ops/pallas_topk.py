@@ -388,6 +388,12 @@ def pallas_topk_preselect(
                                      # per chunk — measured 1.15-1.2x faster
                                      # than "phase" on real data) | "phase"
                                      # (per-phase bai/mask/remaining passes)
+    db_affine: tuple | None = None,  # (mean (d,), std (d,), sqrt_w (d,),
+                                     # n_real scalar): ``db`` holds RAW rows
+                                     # (voicedb.device_layout) — normalise +
+                                     # weight in-jit (fuses with the
+                                     # split3cat cast pass) and pin padding
+                                     # rows to the 1e6 never-wins sentinel
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -421,6 +427,12 @@ def pallas_topk_preselect(
     assert T % t_tile == 0, f"T={T} must be a multiple of {t_tile}"
     assert M % chunk == 0, f"M={M} must be a multiple of {chunk}"
     n_chunks = M // chunk
+    if db_affine is not None:
+        am, astd, aw, n_real = db_affine
+        valid = jnp.arange(M, dtype=jnp.int32)[:, None] < n_real
+        db = jnp.where(valid,
+                       ((db - am[None, :]) / astd[None, :]) * aw[None, :],
+                       jnp.float32(1e6) * aw[None, :])
     sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk, 1)
     if mm_precision == "split3cat":
         targets = _split3cat_targets(targets)

@@ -156,6 +156,11 @@ def topk_preselect(
     # utterance selects only from its own voice).  Fused per chunk.
     ling_weights: tuple | None = None,
     # static (w0..w4, scale) quinphone penalty weights; None = const defaults
+    db_affine: tuple | None = None,
+    # db_affine = (mean (d,), std (d,), sqrt_w (d,), n_real scalar): ``db``
+    # holds RAW feature rows (voicedb.device_layout) — normalise + weight
+    # them here, in-scan, and pin rows >= n_real (padding) to the 1e6
+    # never-wins sentinel.  Saves shipping/storing a derived copy of the DB.
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k nearest DB rows per target frame (exact).
 
@@ -167,6 +172,11 @@ def topk_preselect(
     """
     T, d = targets.shape
     M = db.shape[0]
+    if db_affine is not None:
+        am, astd, aw, n_real = db_affine
+        valid = jnp.arange(M, dtype=jnp.int32)[:, None] < n_real
+        db = jnp.where(valid, ((db - am[None, :]) / astd[None, :]) * aw[None, :],
+                       jnp.float32(1e6) * aw[None, :])
     assert M % chunk == 0, f"db rows {M} must be a multiple of chunk {chunk}"
     n_chunks = M // chunk
     db_chunks = db.reshape(n_chunks, chunk, d)

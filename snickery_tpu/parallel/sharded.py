@@ -1,8 +1,10 @@
 """Sharded, batched synthesis: the multi-chip compute path.
 
 Layout (north star; SURVEY.md §5.8):
-- unit features            (Mp, D)  -> row-sharded over the ``db`` mesh axis
-- join contexts jl/jr      (Mp, dj) -> row-sharded over ``db``
+- raw unit blocks          (q, D+1) -> row-sharded over the ``db`` mesh axis
+  (ONE array per shard carrying the raw features, from which the preselect
+  operand AND both join contexts are derived on device — see
+  voicedb.device_layout; 3x less per-shard HBM than feats + jl + jr)
 - cutpoints cut1/cut2      (Mp,)    -> row-sharded over ``db``
 - waves                    (S,)     -> replicated (see the budget note below)
 - target batch             (B, T, D)-> sharded over ``data``
@@ -22,8 +24,10 @@ Per synthesis step, inside ``shard_map`` (ndb = size of the db axis):
    run on the sub-batch only — decode throughput scales with the WHOLE
    mesh (data x db), not just the data axis.
 
-Memory budget at the 1.15M-unit bench voice (d=151, f32): features 660 MB
-and join contexts 2x660 MB shard ndb-ways; cutpoints 9 MB shard too.  Only
+Memory budget at the 1.15M-unit bench voice (d=151, f32): ONE ~665 MB raw
+block (features + jr-exception column; was 660 MB features + 2x660 MB join
+contexts before the device_layout rework) shards ndb-ways; cutpoints 9 MB
+shard too.  Only
 the corpus audio stays replicated (~250 MB/h at 16 kHz) because the OLA
 gather needs arbitrary rows of it; voices whose audio would not fit next
 to the DB can set ``preload_all_waves=False`` (audio stays on host, OLA
@@ -50,49 +54,68 @@ from snickery_tpu.ops.topk import (halfphone_exact_rank,
                                    order_topk_positions, preselect_margin,
                                    topk_preselect)
 from snickery_tpu.ops.viterbi import greedy_decode, viterbi_decode
+from snickery_tpu.voicedb.device_layout import (affine_rows,
+                                                gather_join_contexts)
 
 from snickery_tpu import utils
 
 
 class ShardedVoice(NamedTuple):
     """Device arrays of a voice DB placed on a (data, db) mesh."""
-    feats: jax.Array      # (Mp, D) row-sharded over "db"
-    jlr: jax.Array        # (Mp, 2*dj) [left | right] join contexts,
-                          # concatenated (one candidate row gather + one
-                          # exchange instead of two), row-sharded over "db"
+    raw: jax.Array        # (ndb*q, kd+1) RAW unit feature blocks with the
+                          # jr-exception pointer column, row-sharded over
+                          # "db" — each shard gets its own (q, kd+1) block
+                          # with block-LOCAL pointers (voicedb.device_layout
+                          # builds them, including the cross-shard boundary
+                          # rows).  The preselect operand and BOTH join
+                          # contexts derive from this one array: 3x less
+                          # per-shard HBM than feats + jl|jr (epoch mode)
+    n_real: jax.Array     # scalar int32, replicated: global rows >= n_real
+                          # are padding
     cut1: jax.Array       # (Mp,) row-sharded over "db"
     cut2: jax.Array       # (Mp,) row-sharded over "db"
     waves: jax.Array      # (S,)  replicated (f32 or int16; see budget note)
     wave_scale: jax.Array # scalar f32: audio = waves * wave_scale
-    mean_t: jax.Array     # (D,)  replicated
+    mean_t: jax.Array     # (D,)  replicated: target normalisation + weights
     std_t: jax.Array      # (D,)  replicated
     sqrt_wt: jax.Array    # (D,)  replicated
+    mean_j: jax.Array     # (dj,) replicated: join-context normalisation
+    std_j: jax.Array      # (dj,) replicated
+    sqrt_wj: jax.Array    # (dj,) replicated
     part: jax.Array       # (Mp,) per-unit voice/partition id, row-sharded over "db"
                           # (all-zero for single-voice DBs)
     codes: jax.Array      # (Mp,) halfphone codes, row-sharded (zeros epoch mode)
     ctx: jax.Array        # (Mp, 5) quinphone codes, row-sharded
 
 
-def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
-                sqrt_wt, part=None, codes=None, ctx=None,
+def shard_voice(mesh: Mesh, raw_block, cut1, cut2, waves, mean_t, std_t,
+                sqrt_wt, mean_j=None, std_j=None, sqrt_wj=None, n_real=None,
+                part=None, codes=None, ctx=None,
                 wave_scale=1.0) -> ShardedVoice:
     """Place padded DB arrays onto the mesh with the layout above.
 
-    ``feats`` must have rows divisible by the db-axis size.  Pass the join
-    contexts either separately (``jl``, ``jr``) or pre-concatenated as
-    ``jl`` (Mp, 2*dj) with ``jr=None``.
+    ``raw_block`` is the (ndb*q, kd+1) raw block array from
+    ``voicedb.device_layout.build_raw_blocks(..., ndb=mesh db size)`` —
+    either a host array or an already-device-resident one (on a 1x1 mesh
+    the Synthesiser's DeviceDB block is aliased directly, no copy).
+    ``mean_j``/``std_j``/``sqrt_wj`` default to identity over ``dj = kd``
+    columns (synthetic test voices whose features are already model-space).
+    ``n_real`` defaults to the cutpoint row count (no padding rows).
     """
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P("db", None))
     ids = NamedSharding(mesh, P("db"))
     put = jax.device_put
-    mp = np.shape(feats)[0]
-    feats_dev = put(jnp.asarray(feats, jnp.float32), rows)
-    jlr = jl if jr is None else np.concatenate(
-        [np.asarray(jl, np.float32), np.asarray(jr, np.float32)], axis=1)
+    mp = np.shape(cut1)[0]
+    kd = np.shape(raw_block)[1] - 1
+    if mean_j is None:
+        from snickery_tpu.voicedb.device_layout import identity_affine
+        mean_j, std_j, sqrt_wj = identity_affine(kd)
+    if n_real is None:
+        n_real = np.int32(mp)
     return ShardedVoice(
-        feats=feats_dev,
-        jlr=put(jnp.asarray(jlr, jnp.float32), rows),
+        raw=put(jnp.asarray(raw_block, jnp.float32), rows),
+        n_real=put(jnp.asarray(n_real, jnp.int32), repl),
         cut1=put(jnp.asarray(cut1, jnp.int32), ids),
         cut2=put(jnp.asarray(cut2, jnp.int32), ids),
         waves=put(jnp.asarray(waves), repl),
@@ -100,6 +123,9 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
         mean_t=put(jnp.asarray(mean_t, jnp.float32), repl),
         std_t=put(jnp.asarray(std_t, jnp.float32), repl),
         sqrt_wt=put(jnp.asarray(sqrt_wt, jnp.float32), repl),
+        mean_j=put(jnp.asarray(mean_j, jnp.float32), repl),
+        std_j=put(jnp.asarray(std_j, jnp.float32), repl),
+        sqrt_wj=put(jnp.asarray(sqrt_wj, jnp.float32), repl),
         part=put(jnp.asarray(
             part if part is not None else np.zeros(mp, np.int32),
             jnp.int32), ids),
@@ -113,10 +139,11 @@ def shard_voice(mesh: Mesh, feats, jl, jr, cut1, cut2, waves, mean_t, std_t,
 
 
 def _select_decode_batch(
-    feats_shard, jlr_shard, cut1_shard, cut2_shard,
+    raw_shard, cut1_shard, cut2_shard,
     part_shard, codes_shard, ctx_shard,
     targets, lengths, voice_ids, tgt_codes, tgt_ctx,
-    *, n_cand, chunk, jcw, eps, db_axis, ndb, use_pallas=False,
+    aff_t, aff_j, n_real,
+    *, n_cand, chunk, jcw, eps, db_axis, ndb, m_shard, use_pallas=False,
     multivoice=False, mm_precision="highest", halfphone=False,
     ling_weights=None, pallas_interpret=False, greedy=False,
     squared_joins=False,
@@ -138,8 +165,16 @@ def _select_decode_batch(
     cut1/cut2 of the chosen units (b_sub, T), lengths (b_sub,)).
     """
     B, T, D = targets.shape
-    m_local = feats_shard.shape[0]
+    m_local = m_shard
+    kd = D
+    dj = aff_j[2].shape[0]
     b_sub = B // ndb
+    shard_id = jax.lax.axis_index(db_axis)
+    # row validity against GLOBAL padding: rows at global id >= n_real are
+    # the 1e6 never-wins sentinel in the derived operand
+    nr_local = jnp.clip(n_real - shard_id * m_local, 0, m_local)
+    db_affine = (*aff_t, nr_local)
+    db_op = raw_shard[:m_local, :kd]
     # a sharded DB slice need not stay divisible by the configured scan
     # chunk (Pallas padding scales by mesh_db, not by this chunk): fall
     # back to the largest common divisor so topk_preselect's divisibility
@@ -173,18 +208,17 @@ def _select_decode_batch(
                       jnp.pad(ling[1], ((0, pad), (0, 0)), constant_values=-1),
                       ling[2], ling[3])
         idx_local, scores_local = pallas_topk_preselect(
-            tw_k, feats_shard, k=k_local, mm_precision=mm_precision, sort=False,
+            tw_k, db_op, k=k_local, mm_precision=mm_precision, sort=False,
             partition=part, linguistic=ling_k, ling_weights=ling_weights,
-            interpret=pallas_interpret)
+            interpret=pallas_interpret, db_affine=db_affine)
         if pad:
             idx_local = idx_local[:rows]
             scores_local = scores_local[:rows]
     else:
         idx_local, scores_local = topk_preselect(
-            tw_flat, feats_shard, k=k_local, chunk=chunk,
+            tw_flat, db_op, k=k_local, chunk=chunk,
             partition=(tgt_part, part_shard), linguistic=ling,
-            ling_weights=ling_weights)
-    shard_id = jax.lax.axis_index(db_axis)
+            ling_weights=ling_weights, db_affine=db_affine)
     idx_global = idx_local + shard_id * m_local
 
     # exact f32 rescoring of the k local winners (local-id gather): the
@@ -193,7 +227,9 @@ def _select_decode_batch(
     # near-tied Viterbi decisions (measured: ~6% unit-sequence disagreement
     # vs the float64 oracle at 1M units without this).  inf kernel scores
     # (partition-starved slots) stay inf.
-    cand_feats = feats_shard[idx_local]                           # (B*T, k, D)
+    rows_c = raw_shard[idx_local]                                 # (B*T, k, kd+1)
+    valid_c = idx_local < nr_local
+    cand_feats = affine_rows(rows_c[..., :kd], *aff_t, valid_c, 1e6)
     diff = cand_feats - tw_flat[:, None, :]
     sq_local = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
     ac_local = jnp.sqrt(sq_local)
@@ -221,8 +257,12 @@ def _select_decode_batch(
     if ndb > 1:
         # candidate payloads from the LOCAL row shards, exchanged with the
         # scores: after this each member holds ONLY its sub-batch's rows
-        # but with candidates from every shard along axis 1
-        jlr_cand = jlr_shard[idx_local]                       # (B*T, k, 2dj)
+        # but with candidates from every shard along axis 1.  jl comes free
+        # from the already-gathered rescore rows; jr is ONE local gather
+        # through the exception pointer (voicedb.device_layout)
+        jl_cand, jr_cand = gather_join_contexts(
+            rows_c, raw_shard, idx_local, dj, *aff_j, valid_c)
+        jlr_cand = jnp.concatenate([jl_cand, jr_cand], axis=-1)
         c1_cand = cut1_shard[idx_local]                       # (B*T, k)
         c2_cand = cut2_shard[idx_local]
 
@@ -264,18 +304,21 @@ def _select_decode_batch(
 
     if ndb > 1:
         jlr_sel = jnp.take_along_axis(all_jlr, order[:, :, None], axis=1)
+        jl_sel, jr_sel = jlr_sel[..., :dj], jlr_sel[..., dj:]
         c1_sel = jnp.take_along_axis(all_c1, order, axis=-1)
         c2_sel = jnp.take_along_axis(all_c2, order, axis=-1)
     else:
-        # single-shard fast path: gather only the n_cand kept candidates
+        # single-shard fast path: jl free from the ordered rescore rows,
+        # jr one gather of only the n_cand kept candidates
         idx_sel = jnp.take_along_axis(idx_local, order, axis=-1)
-        jlr_sel = jlr_shard[idx_sel]
+        rows_sel = jnp.take_along_axis(rows_c, order[:, :, None], axis=1)
+        jl_sel, jr_sel = gather_join_contexts(
+            rows_sel, raw_shard, idx_sel, dj, *aff_j, idx_sel < nr_local)
         c1_sel, c2_sel = cut1_shard[idx_sel], cut2_shard[idx_sel]
 
     n_sel = cand_idx.shape[1]
-    dj = jlr_sel.shape[-1] // 2
-    jlr_sel = jlr_sel.reshape(b_sub, T, n_sel, 2 * dj)
-    jl_sel, jr_sel = jlr_sel[..., :dj], jlr_sel[..., dj:]
+    jl_sel = jl_sel.reshape(b_sub, T, n_sel, dj)
+    jr_sel = jr_sel.reshape(b_sub, T, n_sel, dj)
     cand_idx = cand_idx.reshape(b_sub, T, n_sel)
     target_costs = target_costs.reshape(b_sub, T, n_sel)
 
@@ -304,7 +347,8 @@ def _select_decode_batch(
     jax.jit,
     static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper",
                      "use_pallas", "mm_precision", "halfphone", "ling_weights",
-                     "pallas_interpret", "greedy", "squared_joins", "do_ola"),
+                     "pallas_interpret", "greedy", "squared_joins", "do_ola",
+                     "m_shard"),
 )
 def batched_synth_step(
     voice: ShardedVoice,
@@ -330,6 +374,7 @@ def batched_synth_step(
     greedy: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
+    m_shard: int = 0,
 ):
     """Batched multi-utterance synthesis over the (data x db) mesh.
 
@@ -342,10 +387,14 @@ def batched_synth_step(
     total_samples (B,)).  ``greedy`` decodes with the online greedy rule
     instead of Viterbi; ``do_ola=False`` skips device concatenation for
     hosts that keep the corpus audio off-device (preload_all_waves).
+    ``m_shard``: DB rows per db-shard (Mp / ndb) — the raw blocks carry
+    extra halo/exception rows beyond it (voicedb.device_layout).
     """
     db_axis = "db"
     ndb = mesh.shape["db"]
     n_data = mesh.shape["data"]
+    if m_shard <= 0:
+        raise ValueError("m_shard (DB rows per db-shard) is required")
     multivoice = voice_ids is not None
     B, T, _ = targets.shape
     if B % (n_data * ndb) != 0:
@@ -358,9 +407,10 @@ def batched_synth_step(
     if tgt_ctx is None:
         tgt_ctx = jnp.zeros((B, T, 5), jnp.int32)
 
-    def shard_fn(feats_shard, jlr_shard, cut1_shard, cut2_shard,
+    def shard_fn(raw_shard, n_real, cut1_shard, cut2_shard,
                  waves, wave_scale, mean_t, std_t,
-                 sqrt_wt, part_shard, codes_shard, ctx_shard,
+                 sqrt_wt, mean_j, std_j, sqrt_wj,
+                 part_shard, codes_shard, ctx_shard,
                  tgt_local, len_local, vid_local, tcodes_local, tctx_local,
                  jcw_, eps_):
         # tgt_local: (B_local, T, D)
@@ -368,11 +418,13 @@ def batched_synth_step(
         tw = tw * sqrt_wt[None, None, :]
 
         unit_ids, costs, cut1_path, cut2_path, len_sub = _select_decode_batch(
-            feats_shard, jlr_shard, cut1_shard, cut2_shard,
+            raw_shard, cut1_shard, cut2_shard,
             part_shard, codes_shard, ctx_shard,
             tw, len_local, vid_local, tcodes_local, tctx_local,
+            (mean_t, std_t, sqrt_wt), (mean_j, std_j, sqrt_wj), n_real,
             n_cand=n_cand, chunk=chunk, jcw=jcw_, eps=eps_, db_axis=db_axis,
-            ndb=ndb, use_pallas=use_pallas, multivoice=multivoice,
+            ndb=ndb, m_shard=m_shard, use_pallas=use_pallas,
+            multivoice=multivoice,
             mm_precision=mm_precision, halfphone=halfphone,
             ling_weights=ling_weights,
             pallas_interpret=pallas_interpret, greedy=greedy,
@@ -399,12 +451,13 @@ def batched_synth_step(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            P("db", None),            # feats
-            P("db", None),            # jlr
+            P("db", None),            # raw blocks (per-shard, device_layout)
+            P(),                      # n_real (replicated scalar)
             P("db"), P("db"),         # cut1, cut2
             P(),                      # waves (replicated; see budget note)
             P(),                      # wave_scale
             P(), P(), P(),            # mean_t, std_t, sqrt_wt
+            P(), P(), P(),            # mean_j, std_j, sqrt_wj
             P("db"),                  # part (voice ids, row-sharded)
             P("db"),                  # halfphone codes, row-sharded
             P("db", None),            # quinphone ctx, row-sharded
@@ -422,9 +475,10 @@ def batched_synth_step(
             P(("data", "db")),        # total samples
         ),
         check_vma=False,
-    )(voice.feats, voice.jlr, voice.cut1, voice.cut2,
+    )(voice.raw, voice.n_real, voice.cut1, voice.cut2,
       voice.waves, voice.wave_scale, voice.mean_t, voice.std_t,
-      voice.sqrt_wt, voice.part,
+      voice.sqrt_wt, voice.mean_j, voice.std_j, voice.sqrt_wj,
+      voice.part,
       voice.codes, voice.ctx,
       targets, lengths, voice_ids, tgt_codes, tgt_ctx, jcw, eps)
 

@@ -30,6 +30,8 @@ from snickery_tpu.ops.topk import (halfphone_exact_rank,
                                    topk_preselect)
 from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
 from snickery_tpu.voicedb.db import VoiceDB
+from snickery_tpu.voicedb.device_layout import (affine_rows, build_raw_blocks,
+                                                gather_join_contexts)
 
 # Strict back-off preselection tiers (preselection_method="quinphone_backoff"):
 # one outer-context (quinphone) mismatch costs 2^14, one inner-context
@@ -60,19 +62,34 @@ class DeviceDB(NamedTuple):
     constants, which defeats JAX's persistent compilation cache and makes
     every process pay the (minutes-long, remote-compile) pipeline build.
     """
-    feats: jax.Array        # (Mp, D) normalised + sqrt-weighted target features
-    jlr: jax.Array          # (Mp, 2*dj) [left | right] join contexts, normalised
-                            # + sqrt-weighted, CONCATENATED: candidate contexts
-                            # for Viterbi come from one row gather instead of
-                            # two (row-gather cost is per-row overhead-bound
-                            # on this hardware: 2M rows ~ 52 ms, bytes ~ 3 ms)
+    raw: jax.Array          # (q, D+1) RAW unit feature block + jr-exception
+                            # pointer column (voicedb.device_layout): rows
+                            # [0, Mp) raw target features, row Mp a zero
+                            # halo, tail rows the irregular join_right rows.
+                            # The preselect operand AND both join contexts
+                            # are derived from this ONE array on device —
+                            # 3x less upload + HBM than shipping the
+                            # normalised feats + concatenated jl|jr (epoch
+                            # mode; 2x at multiepoch=2).  Join-context
+                            # gathers keep the old cost: the exact-rescore
+                            # gather already fetches each candidate's raw
+                            # row (cols [:dj] ARE join_left, col D the
+                            # pointer), and jr is one gather at
+                            # ``raw[ptr > 0 ? ptr : idx + 1]`` — row-gather
+                            # cost is per-row overhead-bound on this
+                            # hardware (2M rows ~ 52 ms, bytes ~ 3 ms), and
+                            # the row count is unchanged.
+    n_real: jax.Array       # scalar int32: rows >= n_real are padding
     cut1: jax.Array         # (Mp,)
     cut2: jax.Array         # (Mp,)
     waves: jax.Array        # (S,) f32, or int16 (config waves_dtype)
     wave_scale: jax.Array   # scalar f32: audio = waves * wave_scale
-    mean_t: jax.Array       # (D,)
+    mean_t: jax.Array       # (D,)  target-feature normalisation + weighting
     std_t: jax.Array        # (D,)
     sqrt_wt: jax.Array      # (D,)
+    mean_j: jax.Array       # (dj,) join-context normalisation + weighting
+    std_j: jax.Array        # (dj,)
+    sqrt_wj: jax.Array      # (dj,)
     codes: jax.Array        # (Mp,)  halfphone codes (zeros in epoch mode)
     ctx: jax.Array          # (Mp, 5) quinphone codes
     vids: jax.Array         # (Mp,)  voice ids (zeros for single-voice DBs)
@@ -83,7 +100,7 @@ class DeviceDB(NamedTuple):
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
                      "max_frag", "out_len", "taper", "use_pallas",
                      "mm_precision", "multivoice", "ling_weights",
-                     "pallas_interpret", "squared_joins", "do_ola"),
+                     "pallas_interpret", "squared_joins", "do_ola", "m_pad"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
@@ -109,6 +126,7 @@ def synth_pipeline_step(
     pallas_interpret: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
+    m_pad: int = 0,
 ):
     """The full per-utterance synthesis program (one compiled unit).
 
@@ -119,8 +137,13 @@ def synth_pipeline_step(
     ``do_ola=False`` (config preload_all_waves=False): the corpus audio is
     NOT device-resident — skip concatenation, return a placeholder audio
     buffer plus the exact total sample count; the caller overlap-adds on
-    host from the mmap'd corpus."""
+    host from the mmap'd corpus.
+    ``m_pad``: padded DB unit count — db.raw rows [0, m_pad) are the DB
+    (the tail is the jr-exception block, voicedb.device_layout)."""
     T = targets.shape[0]
+    kd = db.sqrt_wt.shape[0]
+    dj = db.sqrt_wj.shape[0]
+    aff = (db.mean_t, db.std_t, db.sqrt_wt, db.n_real)
     tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
     tw = tnorm * db.sqrt_wt[None, :]
     t_idx = jnp.arange(T, dtype=jnp.int32)
@@ -132,17 +155,18 @@ def synth_pipeline_step(
     # rank margin under approximate kernel precisions: preselect k+margin,
     # keep the exact top-k after rescoring below (ops.topk.preselect_margin)
     margin = preselect_margin(use_pallas, mm_precision, halfphone)
-    k_sel = min(n_cand + margin, db.feats.shape[0])
+    k_sel = min(n_cand + margin, m_pad)
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
-            tw, db.feats, k=k_sel, mm_precision=mm_precision, sort=False,
-            partition=part, linguistic=ling, ling_weights=ling_weights,
-            interpret=pallas_interpret)
+            tw, db.raw[:m_pad, :kd], k=k_sel, mm_precision=mm_precision,
+            sort=False, partition=part, linguistic=ling,
+            ling_weights=ling_weights, interpret=pallas_interpret,
+            db_affine=aff)
     else:
         cand_idx, scores = topk_preselect(
-            tw, db.feats, k=n_cand, chunk=chunk, linguistic=ling,
-            partition=part, ling_weights=ling_weights)
+            tw, db.raw[:m_pad, :kd], k=n_cand, chunk=chunk, linguistic=ling,
+            partition=part, ling_weights=ling_weights, db_affine=aff)
     # exact f32 rescoring of the k winners + canonical (score, unit-id)
     # order: the kernel may RANK with bf16-split matmuls, but the cost
     # lattice must see exact distances, and Viterbi breaks exact ties by
@@ -151,7 +175,10 @@ def synth_pipeline_step(
     # agreement impact of each).  Halfphone mode re-ranks by the exact-f32
     # (squared distance + linguistic penalty) key (ops.topk.
     # halfphone_exact_rank); epoch mode by the exact distance itself.
-    cand_feats = db.feats[cand_idx]                             # (T,N,D)
+    rows_c = db.raw[cand_idx]                                   # (T,N,kd+1)
+    valid_c = cand_idx < db.n_real
+    cand_feats = affine_rows(rows_c[..., :kd], db.mean_t, db.std_t,
+                             db.sqrt_wt, valid_c, 1e6)          # (T,N,D)
     diff = cand_feats - tw[:, None, :]
     sq_exact = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
     ac = jnp.sqrt(sq_exact)
@@ -177,9 +204,10 @@ def synth_pipeline_step(
     target_costs = jnp.take_along_axis(ac, order, axis=-1)
     target_costs = jnp.where(live[:, None], target_costs, 0.0)
 
-    jlr_cand = db.jlr[cand_idx]                                 # (T,N,2dj)
-    dj = db.jlr.shape[1] // 2
-    jl_cand, jr_cand = jlr_cand[..., :dj], jlr_cand[..., dj:]
+    rows_sel = jnp.take_along_axis(rows_c, order[:, :, None], axis=1)
+    jl_cand, jr_cand = gather_join_contexts(
+        rows_sel, db.raw, cand_idx, dj,
+        db.mean_j, db.std_j, db.sqrt_wj, cand_idx < db.n_real)
     if greedy:
         path, total_cost = greedy_decode(
             target_costs, jl_cand, jr_cand, join_cost_weight=jcw, length=length,
@@ -206,7 +234,7 @@ def synth_pipeline_step(
 @functools.partial(jax.jit, static_argnames=(
     "n_cand", "chunk", "use_pallas", "mm_precision", "multivoice",
     "max_frag", "out_len", "taper", "pallas_interpret", "squared_joins",
-    "do_ola"))
+    "do_ola", "m_pad"))
 def _streaming_step(
     db: DeviceDB,
     targets: jax.Array,      # (T, D) unit-rate targets (padded)
@@ -227,6 +255,7 @@ def _streaming_step(
     pallas_interpret: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
+    m_pad: int = 0,
 ):
     """One streaming-decode step, fully on device: preselect + greedy decode
     with an incoming join context + chunk OLA.  Returns (unit ids (T,),
@@ -237,25 +266,32 @@ def _streaming_step(
     trailing 2*taper samples into the next chunk's head (identical maths to
     one whole-utterance OLA because the ramps are complementary)."""
     T = targets.shape[0]
+    kd = db.sqrt_wt.shape[0]
+    dj = db.sqrt_wj.shape[0]
+    aff = (db.mean_t, db.std_t, db.sqrt_wt, db.n_real)
     tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
     tw = tnorm * db.sqrt_wt[None, :]
     live = jnp.arange(T, dtype=jnp.int32) < length
     tw = jnp.where(live[:, None], tw, 0.0)
     part = (tgt_codes, db.vids) if multivoice else None
     margin = preselect_margin(use_pallas, mm_precision)
-    k_sel = min(n_cand + margin, db.feats.shape[0])
+    k_sel = min(n_cand + margin, m_pad)
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
-            tw, db.feats, k=k_sel, mm_precision=mm_precision, sort=False,
-            partition=part, interpret=pallas_interpret)
+            tw, db.raw[:m_pad, :kd], k=k_sel, mm_precision=mm_precision,
+            sort=False, partition=part, interpret=pallas_interpret,
+            db_affine=aff)
     else:
         cand_idx, scores = topk_preselect(
-            tw, db.feats, k=n_cand, chunk=chunk, partition=part)
+            tw, db.raw[:m_pad, :kd], k=n_cand, chunk=chunk, partition=part,
+            db_affine=aff)
     # exact f32 rescoring + canonical (score, unit-id) order — same
     # rationale as synth_pipeline_step (lattice costs must be exact f32,
     # tie-break order must match the oracle's convention)
-    cand_feats = db.feats[cand_idx]
+    rows_c = db.raw[cand_idx]
+    cand_feats = affine_rows(rows_c[..., :kd], db.mean_t, db.std_t,
+                             db.sqrt_wt, cand_idx < db.n_real, 1e6)
     diff = cand_feats - tw[:, None, :]
     ac = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
     ac = jnp.where(jnp.isinf(scores), jnp.inf, ac)
@@ -263,9 +299,10 @@ def _streaming_step(
     cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
     target_costs = jnp.where(
         live[:, None], jnp.take_along_axis(ac, order, axis=-1), 0.0)
-    jlr_cand = db.jlr[cand_idx]
-    dj = db.jlr.shape[1] // 2
-    jl_cand, jr_cand = jlr_cand[..., :dj], jlr_cand[..., dj:]
+    rows_sel = jnp.take_along_axis(rows_c, order[:, :, None], axis=1)
+    jl_cand, jr_cand = gather_join_contexts(
+        rows_sel, db.raw, cand_idx, dj,
+        db.mean_j, db.std_j, db.sqrt_wj, cand_idx < db.n_real)
 
     def step(carry, inp):
         ctx, w = carry
@@ -351,14 +388,18 @@ class Synthesiser:
         self.n_units = m
         self.n_units_padded = mp
 
-        feats, _ = db.padded_features(pad_unit)
-        feats = feats * self._sqrt_wt[None, :]
-        jl, jr = db.normalised_joins()
-        jl = (jl * self._sqrt_wj[None, :]).astype(np.float32)
-        jr = (jr * self._sqrt_wj[None, :]).astype(np.float32)
-        pad = ((0, mp - m), (0, 0))
-        jl = np.pad(jl, pad)
-        jr = np.pad(jr, pad)
+        # ONE raw block instead of normalised feats + concatenated jl|jr:
+        # 3x less upload + HBM at epoch voices (voicedb.device_layout) —
+        # normalisation/weighting and both join contexts are derived on
+        # device from this array.  join_left == the unit's own first raw
+        # frame by builder construction (voicedb/build.py); verified so a
+        # foreign DB can never silently decode with wrong join contexts.
+        if not np.array_equal(db.join_left, db.unit_features[:, :db.join_dim]):
+            raise ValueError(
+                "VoiceDB violates join_left == unit_features[:, :d_join]; "
+                "the device layout derives join contexts from the raw rows")
+        raw_block, _, _ = build_raw_blocks(
+            db.unit_features, db.join_right, mp, ndb=1)
         cuts = np.pad(db.cutpoints.astype(np.int32), ((0, mp - m), (0, 0)))
 
         # fail fast on an inconsistent preselection method (the resolver
@@ -411,8 +452,8 @@ class Synthesiser:
         else:
             waves_dev = np.asarray(db.waves, np.float32)
         self.device_db = DeviceDB(
-            feats=put(feats),
-            jlr=put(np.concatenate([jl, jr], axis=1)),
+            raw=put(raw_block),
+            n_real=put(np.int32(m)),
             cut1=put(np.ascontiguousarray(cuts[:, 1])),
             cut2=put(np.ascontiguousarray(cuts[:, 2])),
             waves=put(waves_dev),
@@ -420,6 +461,9 @@ class Synthesiser:
             mean_t=put(db.mean_target.astype(np.float32)),
             std_t=put(db.std_target.astype(np.float32)),
             sqrt_wt=put(self._sqrt_wt),
+            mean_j=put(db.mean_join.astype(np.float32)),
+            std_j=put(db.std_join.astype(np.float32)),
+            sqrt_wj=put(self._sqrt_wj),
             codes=put(codes_arr),
             ctx=put(ctx_arr),
             vids=put(vids_arr),
@@ -434,6 +478,7 @@ class Synthesiser:
         self._voice_vocab = {n: i for i, n in enumerate(db.voice_names)}
         self._mesh = None
         self._sharded_voice = None
+        self._m_shard = None
 
     # ------------------------------------------------------- target assembly
     def targets_from_features(self, features: np.ndarray) -> tuple[np.ndarray, int]:
@@ -531,6 +576,7 @@ class Synthesiser:
             pallas_interpret=self._pallas_interpret(),
             squared_joins=cfg.join_cost_type == "squared",
             do_ola=cfg.preload_all_waves,
+            m_pad=self.n_units_padded,
         )
 
     # ----------------------------------------------------------------- public
@@ -665,9 +711,22 @@ class Synthesiser:
             self._mesh = make_mesh(cfg.mesh_data, max(1, cfg.mesh_db),
                                    devices=devices)
             ddb = self.device_db
+            ndb = max(1, cfg.mesh_db)
+            if ndb == 1:
+                # the DeviceDB raw block IS the 1-shard layout: alias it
+                # (device_put with identical placement copies nothing)
+                raw_block = ddb.raw
+            else:
+                # shard-local blocks (local jr-exception pointers + halo
+                # per shard) — rebuilt host-side for this mesh
+                raw_block, _, _ = build_raw_blocks(
+                    self.db.unit_features, self.db.join_right,
+                    self.n_units_padded, ndb=ndb)
+            self._m_shard = self.n_units_padded // ndb
             self._sharded_voice = shard_voice(
-                self._mesh, ddb.feats, ddb.jlr, None, ddb.cut1, ddb.cut2,
+                self._mesh, raw_block, ddb.cut1, ddb.cut2,
                 ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
+                ddb.mean_j, ddb.std_j, ddb.sqrt_wj, n_real=ddb.n_real,
                 part=ddb.vids if self.is_multivoice else None,
                 codes=ddb.codes if halfphone else None,
                 ctx=ddb.ctx if halfphone else None,
@@ -697,7 +756,8 @@ class Synthesiser:
                 pallas_interpret=self._pallas_interpret(),
                 greedy=greedy,
                 squared_joins=cfg.join_cost_type == "squared",
-                do_ola=cfg.preload_all_waves))
+                do_ola=cfg.preload_all_waves,
+                m_shard=self._m_shard))
         results = []
         for b in range(B0):
             n = int(lengths[b])
@@ -838,7 +898,7 @@ class Synthesiser:
             unit_ids, ctx, audio, total = _streaming_step(
                 ddb, jnp.asarray(tgt_pad), jnp.int32(t_units),
                 jnp.asarray(codes),
-                (jnp.zeros((ddb.jlr.shape[1] // 2,), jnp.float32)
+                (jnp.zeros((ddb.sqrt_wj.shape[0],), jnp.float32)
                  if ctx is None else ctx),
                 jnp.float32(0.0 if ctx is None else cfg.join_cost_weight),
                 jnp.float32(cfg.join_cost_weight),
@@ -849,7 +909,8 @@ class Synthesiser:
                 taper=cfg.taper_length,
                 pallas_interpret=self._pallas_interpret(),
                 squared_joins=cfg.join_cost_type == "squared",
-                do_ola=cfg.preload_all_waves)
+                do_ola=cfg.preload_all_waves,
+                m_pad=self.n_units_padded)
             if pending is not None:
                 yield finish(pending)
             pending = (unit_ids, audio, total, t_units)

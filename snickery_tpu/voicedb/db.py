@@ -145,26 +145,6 @@ class VoiceDB:
             kwargs[name] = np.load(p, mmap_mode=mode) if os.path.exists(p) else None
         return cls(**kwargs)
 
-    # -- padding for static-shape / sharded kernels --
-    def padded_count(self, multiple: int, shards: int = 1) -> int:
-        return utils.next_multiple(self.n_units, multiple * max(1, shards))
-
-    def padded_features(self, multiple: int, shards: int = 1) -> tuple[np.ndarray, np.ndarray]:
-        """(normalised features padded to (Mp, d), validity mask (Mp,)).
-
-        Padded rows are filled with a large value so they can never win a
-        nearest-neighbour query even without masking; the mask is still
-        returned for exactness.
-        """
-        feats = self.normalised_features().astype(np.float32)
-        m, d = feats.shape
-        mp = self.padded_count(multiple, shards)
-        out = np.full((mp, d), 1e6, dtype=np.float32)
-        out[:m] = feats
-        mask = np.zeros(mp, dtype=bool)
-        mask[:m] = True
-        return out, mask
-
     def summary(self) -> str:
         return (
             f"VoiceDB[{self.target_representation}] units={self.n_units} "

@@ -398,14 +398,21 @@ def test_halfphone_fallback_keeps_f32_precision():
     taper = 4
     cut1 = (np.arange(M, dtype=np.int32) * 8) + 16
     cut2 = cut1 + 8
+    from snickery_tpu.voicedb.device_layout import build_raw_blocks
+    # joins are irrelevant here (jcw = 0): any jr rows do; zeros make every
+    # row a jr-exception, exercising the pointer path
+    raw_block, _, _ = build_raw_blocks(
+        feats, np.zeros((M, d), np.float32), M, ndb=1)
     db = DeviceDB(
-        feats=jnp.asarray(feats),
-        jlr=jnp.zeros((M, 2 * d), jnp.float32),
+        raw=jnp.asarray(raw_block),
+        n_real=jnp.int32(M),
         cut1=jnp.asarray(cut1), cut2=jnp.asarray(cut2),
         waves=jnp.zeros(int(cut2[-1]) + 64, jnp.float32),
         wave_scale=jnp.float32(1.0),
         mean_t=jnp.zeros(d, jnp.float32), std_t=jnp.ones(d, jnp.float32),
         sqrt_wt=jnp.ones(d, jnp.float32),
+        mean_j=jnp.zeros(d, jnp.float32), std_j=jnp.ones(d, jnp.float32),
+        sqrt_wj=jnp.ones(d, jnp.float32),
         codes=jnp.asarray(codes), ctx=jnp.asarray(ctx),
         vids=jnp.zeros(M, jnp.int32),
     )
@@ -414,7 +421,7 @@ def test_halfphone_fallback_keeps_f32_precision():
         jnp.asarray(tgt_ctx), jnp.zeros(T, jnp.int32),
         jnp.float32(0.0), jnp.float32(0.0),
         n_cand=k, chunk=M, greedy=False, halfphone=True,
-        max_frag=8 + 2 * taper, out_len=128, taper=taper)
+        max_frag=8 + 2 * taper, out_len=128, taper=taper, m_pad=M)
     ids_dev = np.asarray(unit_ids)
 
     # float64 oracle with the same (identity-only) linguistic penalties

@@ -38,22 +38,22 @@ def test_multivoice_batch_respects_partition(two_voices):
 
     chunk = 512
     mp = utils.next_multiple(merged.n_units, chunk * 4)
-    feats = (merged.normalised_features().astype(np.float32))
+    from snickery_tpu.voicedb.device_layout import build_raw_blocks
+    blocks, _, m_shard = build_raw_blocks(
+        merged.unit_features, merged.join_right, mp, ndb=4)
     sw = np.sqrt(np.tile(_stream_weight_vector(cfg, cfg.target_stream_weights),
                          merged.multiepoch)).astype(np.float32)
-    feats = feats * sw[None, :]
     pad = mp - merged.n_units
-    feats = np.pad(feats, ((0, pad), (0, 0)), constant_values=1e6)
-    jl, jr = merged.normalised_joins()
-    jl = np.pad(jl.astype(np.float32), ((0, pad), (0, 0)))
-    jr = np.pad(jr.astype(np.float32), ((0, pad), (0, 0)))
     cut1 = np.pad(merged.cutpoints[:, 1].astype(np.int32), (0, pad))
     cut2 = np.pad(merged.cutpoints[:, 2].astype(np.int32), (0, pad))
     part = np.pad(merged.voice_ids.astype(np.int32), (0, pad), constant_values=-1)
 
-    sv = shard_voice(mesh, feats, jl, jr, cut1, cut2,
+    dj = merged.join_dim
+    sv = shard_voice(mesh, blocks, cut1, cut2,
                      merged.waves.astype(np.float32),
-                     merged.mean_target, merged.std_target, sw, part=part)
+                     merged.mean_target, merged.std_target, sw,
+                     merged.mean_join, merged.std_join, np.ones(dj, np.float32),
+                     n_real=np.int32(merged.n_units), part=part)
 
     # batch: 4 utts targeting alice, 4 targeting bob (same feature content);
     # B = 8 because the decode now splits the batch across the WHOLE 2x4
@@ -76,7 +76,7 @@ def test_multivoice_batch_respects_partition(two_voices):
         sv, jnp.asarray(tgts), jnp.asarray(lengths),
         jnp.float32(1.0), jnp.float32(0.0), jnp.asarray(vids),
         mesh=mesh, n_cand=8, chunk=chunk, max_frag=512,
-        out_len=out_len, taper=cfg.taper_length)
+        out_len=out_len, taper=cfg.taper_length, m_shard=m_shard)
     unit_ids = np.asarray(unit_ids)
     for b in range(B):
         n = lengths[b]

@@ -11,6 +11,7 @@ from snickery_tpu.parallel import (
     batched_synth_step, make_mesh, shard_voice, sharded_norm_stats,
 )
 from snickery_tpu.synth import Synthesiser
+from snickery_tpu.voicedb.device_layout import build_raw_blocks
 from tests.toyvoice import build_toy_voice
 
 
@@ -20,20 +21,15 @@ def voice():
     return cfg, db, utts, Synthesiser(cfg, db=db)
 
 
-def _padded_db_arrays(synth, n_db: int):
-    """Re-pad the DB so rows divide n_db (uses the Synthesiser's arrays)."""
-    ddb = synth.device_db
-    feats = np.asarray(ddb.feats)
-    mp = utils.next_multiple(feats.shape[0], synth.chunk * n_db)
-    pad = mp - feats.shape[0]
-    feats = np.pad(feats, ((0, pad), (0, 0)), constant_values=1e6)
-    jlr = np.asarray(ddb.jlr)
-    dj = jlr.shape[1] // 2
-    jl = np.pad(jlr[:, :dj], ((0, pad), (0, 0)))
-    jr = np.pad(jlr[:, dj:], ((0, pad), (0, 0)))
-    cut1 = np.pad(np.asarray(ddb.cut1), (0, pad))
-    cut2 = np.pad(np.asarray(ddb.cut2), (0, pad))
-    return feats, jl, jr, cut1, cut2
+def _sharded_arrays(synth, db, n_db: int, pad_unit=None):
+    """Raw blocks + padded cutpoints for an n_db-way sharded placement."""
+    m = db.n_units
+    mp = utils.next_multiple(m, (pad_unit or synth.chunk) * n_db)
+    blocks, _, m_shard = build_raw_blocks(
+        db.unit_features, db.join_right, mp, ndb=n_db)
+    cut1 = np.pad(db.cutpoints[:, 1].astype(np.int32), (0, mp - m))
+    cut2 = np.pad(db.cutpoints[:, 2].astype(np.int32), (0, mp - m))
+    return blocks, cut1, cut2, mp, m_shard
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
@@ -42,12 +38,14 @@ def test_batched_sharded_matches_single_device(voice, mesh_shape):
     n_data, n_db = mesh_shape
     mesh = make_mesh(n_data, n_db)
 
-    feats, jl, jr, cut1, cut2 = _padded_db_arrays(synth, n_db)
+    blocks, cut1, cut2, mp, m_shard = _sharded_arrays(synth, db, n_db)
+    ddb = synth.device_db
     sv = shard_voice(
-        mesh, feats, jl, jr, cut1, cut2,
-        np.asarray(synth.device_db.waves),
-        np.asarray(synth.device_db.mean_t), np.asarray(synth.device_db.std_t),
-        np.asarray(synth.device_db.sqrt_wt))
+        mesh, blocks, cut1, cut2,
+        db.waves.astype(np.float32),
+        np.asarray(ddb.mean_t), np.asarray(ddb.std_t), np.asarray(ddb.sqrt_wt),
+        np.asarray(ddb.mean_j), np.asarray(ddb.std_j), np.asarray(ddb.sqrt_wj),
+        n_real=np.int32(db.n_units))
 
     # batch of 8 targets (reuse/repeat the toy utterances), padded to T=128
     B, T = 8, 256
@@ -66,9 +64,9 @@ def test_batched_sharded_matches_single_device(voice, mesh_shape):
     unit_ids, costs, audio, totals = batched_synth_step(
         sv, jnp.asarray(tgts), jnp.asarray(lengths),
         jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
-        mesh=mesh, n_cand=min(cfg.n_candidates, feats.shape[0]),
+        mesh=mesh, n_cand=min(cfg.n_candidates, mp),
         chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,
-        taper=cfg.taper_length)
+        taper=cfg.taper_length, m_shard=m_shard)
     unit_ids = np.asarray(unit_ids)
     audio = np.asarray(audio)
 
@@ -102,8 +100,6 @@ def test_sharded_full_product_halfphone_multivoice_pallas_interpret():
     through batched_synth_step on a (2, 2) mesh with the REAL Pallas kernel
     in interpret mode must match the single-shard XLA-fallback decode
     bit-for-bit (both exact-f32 paths)."""
-    import dataclasses
-
     from snickery_tpu.ops.pallas_topk import CHUNK
     from snickery_tpu.voicedb.multivoice import merge_voicedbs
     from tests.toyvoice import build_toy_voice, prepare_toy_utts, toy_config
@@ -119,15 +115,14 @@ def test_sharded_full_product_halfphone_multivoice_pallas_interpret():
 
     n_db = 2
     # Pallas tiling: every db shard must divide the kernel CHUNK
-    mp = utils.next_multiple(merged.n_units, CHUNK * n_db)
-    pad = mp - merged.n_units
-    sw = synth._sqrt_wt
-    feats = merged.normalised_features().astype(np.float32) * sw[None, :]
-    feats = np.pad(feats, ((0, pad), (0, 0)), constant_values=1e6)
-    jl, jr = merged.normalised_joins()
-    swj = synth._sqrt_wj
-    jl = np.pad((jl * swj[None, :]).astype(np.float32), ((0, pad), (0, 0)))
-    jr = np.pad((jr * swj[None, :]).astype(np.float32), ((0, pad), (0, 0)))
+    m = merged.n_units
+    mp = utils.next_multiple(m, CHUNK * n_db)
+    pad = mp - m
+    blocks22, _, m_shard22 = build_raw_blocks(
+        merged.unit_features, merged.join_right, mp, ndb=n_db)
+    blocks11, _, m_shard11 = build_raw_blocks(
+        merged.unit_features, merged.join_right, mp, ndb=1)
+    sw, swj = synth._sqrt_wt, synth._sqrt_wj
     cut1 = np.pad(merged.cutpoints[:, 1].astype(np.int32), (0, pad))
     cut2 = np.pad(merged.cutpoints[:, 2].astype(np.int32), (0, pad))
     part = np.pad(merged.voice_ids.astype(np.int32), (0, pad),
@@ -155,8 +150,6 @@ def test_sharded_full_product_halfphone_multivoice_pallas_interpret():
         tcodes[b, :n] = [synth._unit_vocab.get(s.name, -1) for s in kept[:n]]
         tctx[b, :n] = [[synth._phone_vocab.get(p, 0) for p in s.quinphone]
                        for s in kept[:n]]
-    # normalise + weight on host (batched_synth_step expects raw targets;
-    # easier to drive shard_fn through the public step)
     out_len = utils.next_multiple(T * 400 + 100, 128)
     common = dict(
         n_cand=6, chunk=512, max_frag=1024, out_len=out_len,
@@ -165,23 +158,23 @@ def test_sharded_full_product_halfphone_multivoice_pallas_interpret():
     args = (jnp.asarray(tgts), jnp.asarray(lengths),
             jnp.float32(1.0), jnp.float32(0.0), jnp.asarray(vids),
             jnp.asarray(tcodes), jnp.asarray(tctx))
+    sv_common = dict(
+        waves=merged.waves.astype(np.float32),
+        mean_t=merged.mean_target, std_t=merged.std_target, sqrt_wt=sw,
+        mean_j=merged.mean_join, std_j=merged.std_join, sqrt_wj=swj,
+        n_real=np.int32(m), part=part, codes=codes, ctx=ctx)
 
     mesh22 = make_mesh(2, n_db, devices=jax.devices()[:4])
-    sv = shard_voice(mesh22, feats, jl, jr, cut1, cut2,
-                     merged.waves.astype(np.float32),
-                     merged.mean_target, merged.std_target, sw,
-                     part=part, codes=codes, ctx=ctx)
+    sv = shard_voice(mesh22, blocks22, cut1, cut2, **sv_common)
     ids_p, costs_p, audio_p, totals_p = batched_synth_step(
         sv, *args, mesh=mesh22, use_pallas=True, pallas_interpret=True,
-        **common)
+        m_shard=m_shard22, **common)
 
     mesh11 = make_mesh(1, 1, devices=[jax.devices()[0]])
-    sv1 = shard_voice(mesh11, feats, jl, jr, cut1, cut2,
-                      merged.waves.astype(np.float32),
-                      merged.mean_target, merged.std_target, sw,
-                      part=part, codes=codes, ctx=ctx)
+    sv1 = shard_voice(mesh11, blocks11, cut1, cut2, **sv_common)
     ids_x, costs_x, audio_x, totals_x = batched_synth_step(
-        sv1, *args, mesh=mesh11, use_pallas=False, **common)
+        sv1, *args, mesh=mesh11, use_pallas=False, m_shard=m_shard11,
+        **common)
 
     ids_p, ids_x = np.asarray(ids_p), np.asarray(ids_x)
     for b in range(B):
