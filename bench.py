@@ -349,7 +349,6 @@ def run_epoch_mode(args, extra: dict):
             lengths_dev if lengths_ is None else jnp.asarray(lengths_),
             jnp.float32(JCW), jnp.float32(0.0),
             mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
-            m_shard=synth._m_shard,
             chunk=synth.chunk, max_frag=synth.max_frag,
             out_len=out_len, taper=cfg.taper_length,
             use_pallas=synth._use_pallas(),
@@ -678,7 +677,6 @@ def run_me2_mode(args, extra: dict):
             synth._sharded_voice, tgts_dev, lengths_dev,
             jnp.float32(JCW), jnp.float32(0.0),
             mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
-            m_shard=synth._m_shard,
             chunk=synth.chunk, max_frag=synth.max_frag,
             out_len=out_len, taper=cfg.taper_length,
             use_pallas=synth._use_pallas(),
@@ -765,7 +763,6 @@ def run_halfphone_mode(args, extra: dict):
             jnp.float32(JCW), jnp.float32(0.0), None,
             tcodes_dev, tctx_dev,
             mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
-            m_shard=synth._m_shard,
             chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,
             taper=cfg.taper_length, use_pallas=synth._use_pallas(),
             mm_precision=cfg.preselect_precision, halfphone=True,
@@ -964,7 +961,6 @@ def run_multivoice_mode(args, extra: dict):
             synth._sharded_voice, tgts_dev, lengths_dev,
             jnp.float32(JCW), jnp.float32(0.0), vids,
             mesh=synth._mesh, n_cand=min(cfg.n_candidates, synth.n_units_padded),
-            m_shard=synth._m_shard,
             chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,
             taper=cfg.taper_length, use_pallas=synth._use_pallas(),
             mm_precision=cfg.preselect_precision)

@@ -428,11 +428,12 @@ def pallas_topk_preselect(
     assert M % chunk == 0, f"M={M} must be a multiple of {chunk}"
     n_chunks = M // chunk
     if db_affine is not None:
+        from snickery_tpu.voicedb.device_layout import affine_rows
         am, astd, aw, n_real = db_affine
-        valid = jnp.arange(M, dtype=jnp.int32)[:, None] < n_real
-        db = jnp.where(valid,
-                       ((db - am[None, :]) / astd[None, :]) * aw[None, :],
-                       jnp.float32(1e6) * aw[None, :])
+        valid = jnp.arange(M, dtype=jnp.int32) < n_real
+        # fuses with the split3cat cast pass below — no standalone f32
+        # derived copy of the DB is kept in HBM
+        db = affine_rows(db, am, astd, aw, valid, 1e6)
     sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk, 1)
     if mm_precision == "split3cat":
         targets = _split3cat_targets(targets)

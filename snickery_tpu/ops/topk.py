@@ -172,15 +172,13 @@ def topk_preselect(
     """
     T, d = targets.shape
     M = db.shape[0]
-    if db_affine is not None:
-        am, astd, aw, n_real = db_affine
-        valid = jnp.arange(M, dtype=jnp.int32)[:, None] < n_real
-        db = jnp.where(valid, ((db - am[None, :]) / astd[None, :]) * aw[None, :],
-                       jnp.float32(1e6) * aw[None, :])
     assert M % chunk == 0, f"db rows {M} must be a multiple of chunk {chunk}"
     n_chunks = M // chunk
     db_chunks = db.reshape(n_chunks, chunk, d)
-    sqnorms = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk)
+    # with db_affine the normalise/weight transform runs per-chunk INSIDE
+    # the scan step (below) so no full-DB derived copy is ever materialised
+    sqnorms = (None if db_affine is not None
+               else jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk))
     extra = (
         None if extra_scores is None
         else extra_scores.reshape(T, n_chunks, chunk).transpose(1, 0, 2)
@@ -200,8 +198,18 @@ def topk_preselect(
 
     def step(carry, inputs):
         inputs = list(inputs)
-        ci, db_c, sq_c = inputs[:3]
-        rest = inputs[3:]
+        if db_affine is None:
+            ci, db_c, sq_c = inputs[:3]
+            rest = inputs[3:]
+        else:
+            from snickery_tpu.voicedb.device_layout import affine_rows
+            ci, db_c = inputs[:2]
+            rest = inputs[2:]
+            am, astd, aw, n_real = db_affine
+            valid = (ci * chunk
+                     + jnp.arange(chunk, dtype=jnp.int32)) < n_real
+            db_c = affine_rows(db_c, am, astd, aw, valid, 1e6)
+            sq_c = jnp.sum(db_c * db_c, axis=-1)
         scores = _chunk_scores(targets, db_c, sq_c)
         if extra is not None:
             scores = scores + rest.pop(0)
@@ -225,7 +233,8 @@ def topk_preselect(
         return carry, (vals, cols + ci * chunk)
 
     chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
-    xs = [chunk_ids, db_chunks, sqnorms]
+    xs = ([chunk_ids, db_chunks] if sqnorms is None
+          else [chunk_ids, db_chunks, sqnorms])
     if extra is not None:
         xs.append(extra)
     if ling is not None:

@@ -347,8 +347,7 @@ def _select_decode_batch(
     jax.jit,
     static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper",
                      "use_pallas", "mm_precision", "halfphone", "ling_weights",
-                     "pallas_interpret", "greedy", "squared_joins", "do_ola",
-                     "m_shard"),
+                     "pallas_interpret", "greedy", "squared_joins", "do_ola"),
 )
 def batched_synth_step(
     voice: ShardedVoice,
@@ -374,7 +373,6 @@ def batched_synth_step(
     greedy: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
-    m_shard: int = 0,
 ):
     """Batched multi-utterance synthesis over the (data x db) mesh.
 
@@ -387,14 +385,13 @@ def batched_synth_step(
     total_samples (B,)).  ``greedy`` decodes with the online greedy rule
     instead of Viterbi; ``do_ola=False`` skips device concatenation for
     hosts that keep the corpus audio off-device (preload_all_waves).
-    ``m_shard``: DB rows per db-shard (Mp / ndb) — the raw blocks carry
-    extra halo/exception rows beyond it (voicedb.device_layout).
     """
     db_axis = "db"
     ndb = mesh.shape["db"]
     n_data = mesh.shape["data"]
-    if m_shard <= 0:
-        raise ValueError("m_shard (DB rows per db-shard) is required")
+    # DB rows per db-shard: cut1 has exactly Mp rows; the raw blocks carry
+    # extra halo/exception rows beyond m_shard (voicedb.device_layout)
+    m_shard = voice.cut1.shape[0] // ndb
     multivoice = voice_ids is not None
     B, T, _ = targets.shape
     if B % (n_data * ndb) != 0:

@@ -100,7 +100,7 @@ class DeviceDB(NamedTuple):
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
                      "max_frag", "out_len", "taper", "use_pallas",
                      "mm_precision", "multivoice", "ling_weights",
-                     "pallas_interpret", "squared_joins", "do_ola", "m_pad"),
+                     "pallas_interpret", "squared_joins", "do_ola"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
@@ -126,7 +126,6 @@ def synth_pipeline_step(
     pallas_interpret: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
-    m_pad: int = 0,
 ):
     """The full per-utterance synthesis program (one compiled unit).
 
@@ -137,11 +136,12 @@ def synth_pipeline_step(
     ``do_ola=False`` (config preload_all_waves=False): the corpus audio is
     NOT device-resident — skip concatenation, return a placeholder audio
     buffer plus the exact total sample count; the caller overlap-adds on
-    host from the mmap'd corpus.
-    ``m_pad``: padded DB unit count — db.raw rows [0, m_pad) are the DB
-    (the tail is the jr-exception block, voicedb.device_layout)."""
+    host from the mmap'd corpus."""
     T = targets.shape[0]
     kd = db.sqrt_wt.shape[0]
+    # padded DB unit count: db.raw rows [0, m_pad) are the DB, the tail the
+    # jr-exception block (voicedb.device_layout); cut1 has exactly Mp rows
+    m_pad = db.cut1.shape[0]
     dj = db.sqrt_wj.shape[0]
     aff = (db.mean_t, db.std_t, db.sqrt_wt, db.n_real)
     tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
@@ -234,7 +234,7 @@ def synth_pipeline_step(
 @functools.partial(jax.jit, static_argnames=(
     "n_cand", "chunk", "use_pallas", "mm_precision", "multivoice",
     "max_frag", "out_len", "taper", "pallas_interpret", "squared_joins",
-    "do_ola", "m_pad"))
+    "do_ola"))
 def _streaming_step(
     db: DeviceDB,
     targets: jax.Array,      # (T, D) unit-rate targets (padded)
@@ -255,7 +255,6 @@ def _streaming_step(
     pallas_interpret: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
-    m_pad: int = 0,
 ):
     """One streaming-decode step, fully on device: preselect + greedy decode
     with an incoming join context + chunk OLA.  Returns (unit ids (T,),
@@ -268,6 +267,7 @@ def _streaming_step(
     T = targets.shape[0]
     kd = db.sqrt_wt.shape[0]
     dj = db.sqrt_wj.shape[0]
+    m_pad = db.cut1.shape[0]
     aff = (db.mean_t, db.std_t, db.sqrt_wt, db.n_real)
     tnorm = (targets - db.mean_t[None, :]) / db.std_t[None, :]
     tw = tnorm * db.sqrt_wt[None, :]
@@ -478,7 +478,6 @@ class Synthesiser:
         self._voice_vocab = {n: i for i, n in enumerate(db.voice_names)}
         self._mesh = None
         self._sharded_voice = None
-        self._m_shard = None
 
     # ------------------------------------------------------- target assembly
     def targets_from_features(self, features: np.ndarray) -> tuple[np.ndarray, int]:
@@ -576,7 +575,6 @@ class Synthesiser:
             pallas_interpret=self._pallas_interpret(),
             squared_joins=cfg.join_cost_type == "squared",
             do_ola=cfg.preload_all_waves,
-            m_pad=self.n_units_padded,
         )
 
     # ----------------------------------------------------------------- public
@@ -722,7 +720,6 @@ class Synthesiser:
                 raw_block, _, _ = build_raw_blocks(
                     self.db.unit_features, self.db.join_right,
                     self.n_units_padded, ndb=ndb)
-            self._m_shard = self.n_units_padded // ndb
             self._sharded_voice = shard_voice(
                 self._mesh, raw_block, ddb.cut1, ddb.cut2,
                 ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
@@ -756,8 +753,7 @@ class Synthesiser:
                 pallas_interpret=self._pallas_interpret(),
                 greedy=greedy,
                 squared_joins=cfg.join_cost_type == "squared",
-                do_ola=cfg.preload_all_waves,
-                m_shard=self._m_shard))
+                do_ola=cfg.preload_all_waves))
         results = []
         for b in range(B0):
             n = int(lengths[b])
@@ -909,8 +905,7 @@ class Synthesiser:
                 taper=cfg.taper_length,
                 pallas_interpret=self._pallas_interpret(),
                 squared_joins=cfg.join_cost_type == "squared",
-                do_ola=cfg.preload_all_waves,
-                m_pad=self.n_units_padded)
+                do_ola=cfg.preload_all_waves)
             if pending is not None:
                 yield finish(pending)
             pending = (unit_ids, audio, total, t_units)

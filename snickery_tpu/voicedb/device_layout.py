@@ -29,8 +29,11 @@ Block layout (per shard; ``ndb`` = db-mesh axis size, 1 for single chip)::
 
     column kd              jr-exception POINTER: 0 for regular rows, else
                            the block-local row holding this unit's true
-                           join_right.  Stored as f32 — exact for indices
-                           < 2^24, asserted below.
+                           join_right.  int32 BITCAST into the f32 column
+                           (the column is only ever gathered and compared,
+                           never arithmetic) — exact for any block size,
+                           unlike an f32-valued index which loses exactness
+                           past 2^24 rows.
 
 The decode-time gather then needs NO extra lookups vs the old layout: the
 exact-rescore row gather already fetches each candidate's raw row (whose
@@ -68,8 +71,6 @@ def build_raw_blocks(
     assert dj <= kd, (dj, kd)
     assert mp % ndb == 0 and mp >= m, (mp, ndb, m)
     m_s = mp // ndb
-    # pointers ride an f32 column: exact only below 2^24
-    assert m_s + 1 + m < 2 ** 24, "DB too large for f32-exact jr pointers"
 
     # irregular-jr mask by EXACT comparison (the regular case is a bitwise
     # copy of the same source row, so float equality is the right test)
@@ -104,8 +105,8 @@ def build_raw_blocks(
         ids = shard_exc[s]
         if len(ids):
             blocks[base + m_s + 1: base + m_s + 1 + len(ids), :dj] = jr_raw[ids]
-            blocks[base + (ids - lo), kd] = (
-                m_s + 1 + np.arange(len(ids), dtype=np.int64))
+            ptrs = (m_s + 1 + np.arange(len(ids), dtype=np.int32))
+            blocks[base + (ids - lo), kd] = ptrs.view(np.float32)
     return blocks, q, m_s
 
 
@@ -131,9 +132,11 @@ def gather_join_contexts(raw_rows, raw_block, idx, dj,
     old concatenated-jlr gather).  Invalid (padding) candidates get zero
     contexts, matching the old zero-padded jl/jr rows.
     """
+    import jax
     import jax.numpy as jnp
     kd = raw_block.shape[1] - 1
-    ptr = raw_rows[..., kd].astype(jnp.int32)
+    # pointer column carries int32 BITS in an f32 array (see module doc)
+    ptr = jax.lax.bitcast_convert_type(raw_rows[..., kd], jnp.int32)
     g = jnp.where(ptr > 0, ptr, idx + 1)
     jr_raw = raw_block[g][..., :dj]
     aff = lambda x: affine_rows(x, mean_j, std_j, sqrt_wj, valid, 0.0)

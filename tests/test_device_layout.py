@@ -17,7 +17,8 @@ def _emulate_device_gather(blocks, q, m_s, ndb, kd, dj, unit_ids):
         block = blocks[s * q:(s + 1) * q]
         row = block[local]
         out_jl[i] = row[:dj]
-        ptr = int(row[kd])
+        # pointer column carries int32 BITS in the f32 array
+        ptr = int(np.asarray(row[kd], np.float32).view(np.int32))
         g = ptr if ptr > 0 else local + 1
         out_jr[i] = block[g][:dj]
     return out_jl, out_jr
@@ -61,7 +62,7 @@ def test_blocks_all_rows_exceptional():
 
 def test_synthesiser_mesh_db2_bridge_matches_single():
     """cfg.mesh_db = 2 through the PUBLIC synth_batch API: the host-side
-    per-shard block rebuild + m_shard plumbing must reproduce the 1x1
+    per-shard block rebuild must reproduce the 1x1
     decode exactly (same toy utterances, natural targets)."""
     import dataclasses
 

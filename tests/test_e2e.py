@@ -421,7 +421,7 @@ def test_halfphone_fallback_keeps_f32_precision():
         jnp.asarray(tgt_ctx), jnp.zeros(T, jnp.int32),
         jnp.float32(0.0), jnp.float32(0.0),
         n_cand=k, chunk=M, greedy=False, halfphone=True,
-        max_frag=8 + 2 * taper, out_len=128, taper=taper, m_pad=M)
+        max_frag=8 + 2 * taper, out_len=128, taper=taper)
     ids_dev = np.asarray(unit_ids)
 
     # float64 oracle with the same (identity-only) linguistic penalties

@@ -39,7 +39,7 @@ def test_multivoice_batch_respects_partition(two_voices):
     chunk = 512
     mp = utils.next_multiple(merged.n_units, chunk * 4)
     from snickery_tpu.voicedb.device_layout import build_raw_blocks
-    blocks, _, m_shard = build_raw_blocks(
+    blocks, _, _ = build_raw_blocks(
         merged.unit_features, merged.join_right, mp, ndb=4)
     sw = np.sqrt(np.tile(_stream_weight_vector(cfg, cfg.target_stream_weights),
                          merged.multiepoch)).astype(np.float32)
@@ -76,7 +76,7 @@ def test_multivoice_batch_respects_partition(two_voices):
         sv, jnp.asarray(tgts), jnp.asarray(lengths),
         jnp.float32(1.0), jnp.float32(0.0), jnp.asarray(vids),
         mesh=mesh, n_cand=8, chunk=chunk, max_frag=512,
-        out_len=out_len, taper=cfg.taper_length, m_shard=m_shard)
+        out_len=out_len, taper=cfg.taper_length)
     unit_ids = np.asarray(unit_ids)
     for b in range(B):
         n = lengths[b]

@@ -25,11 +25,11 @@ def _sharded_arrays(synth, db, n_db: int, pad_unit=None):
     """Raw blocks + padded cutpoints for an n_db-way sharded placement."""
     m = db.n_units
     mp = utils.next_multiple(m, (pad_unit or synth.chunk) * n_db)
-    blocks, _, m_shard = build_raw_blocks(
+    blocks, _, _ = build_raw_blocks(
         db.unit_features, db.join_right, mp, ndb=n_db)
     cut1 = np.pad(db.cutpoints[:, 1].astype(np.int32), (0, mp - m))
     cut2 = np.pad(db.cutpoints[:, 2].astype(np.int32), (0, mp - m))
-    return blocks, cut1, cut2, mp, m_shard
+    return blocks, cut1, cut2, mp
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
@@ -38,7 +38,7 @@ def test_batched_sharded_matches_single_device(voice, mesh_shape):
     n_data, n_db = mesh_shape
     mesh = make_mesh(n_data, n_db)
 
-    blocks, cut1, cut2, mp, m_shard = _sharded_arrays(synth, db, n_db)
+    blocks, cut1, cut2, mp = _sharded_arrays(synth, db, n_db)
     ddb = synth.device_db
     sv = shard_voice(
         mesh, blocks, cut1, cut2,
@@ -66,7 +66,7 @@ def test_batched_sharded_matches_single_device(voice, mesh_shape):
         jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
         mesh=mesh, n_cand=min(cfg.n_candidates, mp),
         chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,
-        taper=cfg.taper_length, m_shard=m_shard)
+        taper=cfg.taper_length)
     unit_ids = np.asarray(unit_ids)
     audio = np.asarray(audio)
 
@@ -118,9 +118,9 @@ def test_sharded_full_product_halfphone_multivoice_pallas_interpret():
     m = merged.n_units
     mp = utils.next_multiple(m, CHUNK * n_db)
     pad = mp - m
-    blocks22, _, m_shard22 = build_raw_blocks(
+    blocks22, _, _ = build_raw_blocks(
         merged.unit_features, merged.join_right, mp, ndb=n_db)
-    blocks11, _, m_shard11 = build_raw_blocks(
+    blocks11, _, _ = build_raw_blocks(
         merged.unit_features, merged.join_right, mp, ndb=1)
     sw, swj = synth._sqrt_wt, synth._sqrt_wj
     cut1 = np.pad(merged.cutpoints[:, 1].astype(np.int32), (0, pad))
@@ -168,12 +168,12 @@ def test_sharded_full_product_halfphone_multivoice_pallas_interpret():
     sv = shard_voice(mesh22, blocks22, cut1, cut2, **sv_common)
     ids_p, costs_p, audio_p, totals_p = batched_synth_step(
         sv, *args, mesh=mesh22, use_pallas=True, pallas_interpret=True,
-        m_shard=m_shard22, **common)
+        **common)
 
     mesh11 = make_mesh(1, 1, devices=[jax.devices()[0]])
     sv1 = shard_voice(mesh11, blocks11, cut1, cut2, **sv_common)
     ids_x, costs_x, audio_x, totals_x = batched_synth_step(
-        sv1, *args, mesh=mesh11, use_pallas=False, m_shard=m_shard11,
+        sv1, *args, mesh=mesh11, use_pallas=False,
         **common)
 
     ids_p, ids_x = np.asarray(ids_p), np.asarray(ids_x)
