@@ -22,6 +22,27 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libsnickery_native.so")
 
+
+def _find_lib() -> str | None:
+    """Locate the native library across deployment shapes.
+
+    Order: SNICKERY_NATIVE_LIB env override -> the wheel-installed
+    extension next to this package (built by setup.py as
+    ``_libsnickery_native*.so``; plain C ABI, loaded via ctypes) -> the
+    repo-checkout ``native/`` directory (where ``make`` drops it).
+    """
+    import glob
+    override = os.environ.get("SNICKERY_NATIVE_LIB")
+    if override and os.path.exists(override):
+        return override
+    here = os.path.dirname(os.path.abspath(__file__))
+    packaged = sorted(glob.glob(os.path.join(here, "_libsnickery_native*.so")))
+    if packaged:
+        return packaged[0]
+    if os.path.exists(_LIB_PATH):
+        return _LIB_PATH
+    return None
+
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _lib_failed = False
@@ -51,11 +72,14 @@ def get_lib() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
-            _lib_failed = True
-            return None
+        path = _find_lib()
+        if path is None:
+            if not _build():
+                _lib_failed = True
+                return None
+            path = _LIB_PATH
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(path)
         except OSError as e:
             utils.logger.warning("cannot load native lib: %s", e)
             _lib_failed = True
