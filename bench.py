@@ -652,6 +652,7 @@ def run_me2_mode(args, extra: dict):
         lambda: build_voicedb(cfg, make_corpus(n_utts, 40, 20_000, False)),
         cfg, args.rebuild)
     synth = Synthesiser(cfg, db=db)
+    synth.ensure_sharded()     # drives batched_synth_step directly below
     tgt_feats, _, _ = held_out_features(args.batch, 128 if not args.quick else 16,
                                         seed0=94_000)
     if args.quick:

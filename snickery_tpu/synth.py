@@ -649,6 +649,44 @@ class Synthesiser:
             "n_units": int(t_units),
         }
 
+    def ensure_sharded(self) -> None:
+        """Create the (data x db) mesh + sharded voice placement if needed.
+
+        Called lazily by ``synth_batch``; callers driving
+        ``parallel.batched_synth_step`` directly (bench.py) call it first
+        and then use ``self._mesh`` / ``self._sharded_voice``.
+        """
+        if self._mesh is not None:
+            return
+        from snickery_tpu.parallel import make_mesh, shard_voice
+        cfg = self.cfg
+        n_mesh = max(1, cfg.mesh_data) * max(1, cfg.mesh_db)
+        devices = (jax.devices()[:n_mesh] if n_mesh > 1
+                   else [jax.devices()[0]])
+        self._mesh = make_mesh(cfg.mesh_data, max(1, cfg.mesh_db),
+                               devices=devices)
+        ddb = self.device_db
+        ndb = max(1, cfg.mesh_db)
+        if ndb == 1:
+            # the DeviceDB raw block IS the 1-shard layout: alias it
+            # (device_put with identical placement copies nothing)
+            raw_block = ddb.raw
+        else:
+            # shard-local blocks (local jr-exception pointers + halo
+            # per shard) — rebuilt host-side for this mesh
+            raw_block, _, _ = build_raw_blocks(
+                self.db.unit_features, self.db.join_right,
+                self.n_units_padded, ndb=ndb)
+        # codes/ctx/part are passed unconditionally: for voices that do
+        # not use them they are all-zero arrays, identical to the
+        # defaults shard_voice would create
+        self._sharded_voice = shard_voice(
+            self._mesh, raw_block, ddb.cut1, ddb.cut2,
+            ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
+            ddb.mean_j, ddb.std_j, ddb.sqrt_wj, n_real=ddb.n_real,
+            part=ddb.vids, codes=ddb.codes, ctx=ddb.ctx,
+            wave_scale=ddb.wave_scale)
+
     def synth_batch(self, feature_list: list[np.ndarray], greedy: bool = False,
                     voices: list | None = None,
                     segments_list: list | None = None) -> list[dict]:
@@ -702,32 +740,7 @@ class Synthesiser:
                 tgt_codes[b, :n] = 0
                 tgt_ctx[b, :n] = 0
 
-        if self._mesh is None:
-            n_mesh = max(1, cfg.mesh_data) * max(1, cfg.mesh_db)
-            devices = (jax.devices()[:n_mesh] if n_mesh > 1
-                       else [jax.devices()[0]])
-            self._mesh = make_mesh(cfg.mesh_data, max(1, cfg.mesh_db),
-                                   devices=devices)
-            ddb = self.device_db
-            ndb = max(1, cfg.mesh_db)
-            if ndb == 1:
-                # the DeviceDB raw block IS the 1-shard layout: alias it
-                # (device_put with identical placement copies nothing)
-                raw_block = ddb.raw
-            else:
-                # shard-local blocks (local jr-exception pointers + halo
-                # per shard) — rebuilt host-side for this mesh
-                raw_block, _, _ = build_raw_blocks(
-                    self.db.unit_features, self.db.join_right,
-                    self.n_units_padded, ndb=ndb)
-            self._sharded_voice = shard_voice(
-                self._mesh, raw_block, ddb.cut1, ddb.cut2,
-                ddb.waves, ddb.mean_t, ddb.std_t, ddb.sqrt_wt,
-                ddb.mean_j, ddb.std_j, ddb.sqrt_wj, n_real=ddb.n_real,
-                part=ddb.vids if self.is_multivoice else None,
-                codes=ddb.codes if halfphone else None,
-                ctx=ddb.ctx if halfphone else None,
-                wave_scale=ddb.wave_scale)
+        self.ensure_sharded()
         out_len = utils.next_multiple(
             t_bucket * self.max_span + 2 * cfg.taper_length, 128)
         voice_ids = None
