@@ -60,6 +60,21 @@ def test_blocks_all_rows_exceptional():
     np.testing.assert_array_equal(jr_got, jr)
 
 
+def test_foreign_db_invariant_guard():
+    """A DB whose join_left does not equal the units' own first raw frame
+    (impossible for builder output, possible for a hand-made DB) must be
+    rejected at load, not silently decoded with wrong join contexts."""
+    import dataclasses
+
+    from snickery_tpu.synth import Synthesiser
+    from tests.toyvoice import build_toy_voice
+
+    cfg, db, _ = build_toy_voice(halfphone=False, multiepoch=1)
+    bad = dataclasses.replace(db, join_left=db.join_left + 1.0)
+    with pytest.raises(ValueError, match="join_left"):
+        Synthesiser(cfg, db=bad)
+
+
 def test_synthesiser_mesh_db2_bridge_matches_single():
     """cfg.mesh_db = 2 through the PUBLIC synth_batch API: the host-side
     per-shard block rebuild must reproduce the 1x1
