@@ -108,6 +108,35 @@ def _die_flushing(signum, frame):  # pragma: no cover - signal path
     os._exit(0)
 
 
+def _start_watchdog(deadline_sec: float) -> None:
+    """Daemon-thread deadline: emit the JSON line and exit even if the main
+    thread is stuck inside a C call.
+
+    Python signal handlers only run between bytecodes; a dead axon tunnel
+    can block the main thread indefinitely inside grpc (observed: the
+    2026-08-17 outage hung ``jax.devices()`` for hours), where SIGALRM's
+    python handler never gets a chance.  A daemon thread runs regardless
+    (blocking C calls release the GIL), so the driver ALWAYS gets a
+    parseable line + rc 0.
+    """
+    import threading
+
+    def guard():  # pragma: no cover - timing path
+        end = _STATE["t0"] + deadline_sec
+        while True:
+            now = time.time()
+            if now >= end:
+                break
+            time.sleep(min(30.0, end - now))
+        _STATE["extra"]["killed_by_watchdog"] = round(elapsed(), 1)
+        log("watchdog deadline: flushing result JSON and exiting")
+        emit_final()
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=guard, daemon=True).start()
+
+
 def elapsed() -> float:
     return time.time() - _STATE["t0"]
 
@@ -1046,6 +1075,9 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGALRM, _die_flushing)
     if _STATE["budget"]:
         signal.alarm(int(_STATE["budget"]) + 120)
+        # the SIGALRM handler cannot run while the main thread is stuck in
+        # a C call (dead tunnel); the watchdog thread fires regardless
+        _start_watchdog(_STATE["budget"] + 150.0)
 
     from snickery_tpu import utils
     utils.enable_compilation_cache()
