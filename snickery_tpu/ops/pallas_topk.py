@@ -130,7 +130,7 @@ def _split3cat_targets(targets):
     return _cat128([tgt_hi, tgt_lo, tgt_hi])
 
 
-def _compute_scores(mm_precision, has_part, has_ling, ling_weights,
+def _compute_scores(mm_precision, has_part, has_ling, ling_weights, mask_col,
                     tgt_ref, db_ref, sqn_ref,
                     tpart_ref, dpart_ref, tling_ref, dling_ref):
     """Distance scores (CHUNK, T_TILE) for one (db-chunk, target-tile) pair:
@@ -138,6 +138,14 @@ def _compute_scores(mm_precision, has_part, has_ling, ling_weights,
     penalties."""
     tgt = tgt_ref[:]                                   # (T_TILE, d)
     db = db_ref[:]                                     # (CHUNK, d)
+    if mask_col is not None:
+        # zero-transient mode: the operand is the resident RAW block whose
+        # column ``mask_col`` carries int32 jr-exception pointer BITS
+        # (voicedb.device_layout) — as f32 they can be nan/denormal, so
+        # mask them out BEFORE any cast or matmul (where drops unselected
+        # nans; a multiplicative mask would propagate them)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)
+        db = jnp.where(lanes < mask_col, db, 0.0)
     if mm_precision == "split3":
         cross = _split3_dot(db, tgt)                   # (CHUNK, T_TILE)
     elif mm_precision == "split3cat":
@@ -235,7 +243,7 @@ def _stream_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
 
 
 def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
-                 has_ling: bool, ling_weights: tuple,
+                 has_ling: bool, ling_weights: tuple, mask_col,
                  t_tile: int, chunk: int, block: int, db_major: bool,
                  select: str, *refs):
     nb = chunk // block
@@ -267,7 +275,7 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
         state_cols[:, sl] = jnp.zeros((k, t_tile), jnp.int32)
 
     s = _compute_scores(mm_precision, has_part, has_ling, ling_weights,
-                        tgt_ref, db_ref, sqn_ref,
+                        mask_col, tgt_ref, db_ref, sqn_ref,
                         tpart_ref, dpart_ref, tling_ref, dling_ref)
     folded = s.reshape(nb, block, t_tile)              # free leading-dim split
     base_col = j * chunk
@@ -361,7 +369,8 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 @functools.partial(jax.jit,
                    static_argnames=("k", "interpret", "mm_precision", "sort",
                                     "ling_weights", "t_tile", "chunk",
-                                    "block", "db_major", "select"))
+                                    "block", "db_major", "select",
+                                    "zero_transient", "m_rows"))
 def pallas_topk_preselect(
     targets: jax.Array,       # (T, d) — T % T_TILE == 0
     db: jax.Array,            # (M, d) — M % CHUNK == 0
@@ -394,6 +403,18 @@ def pallas_topk_preselect(
                                      # weight in-jit (fuses with the
                                      # split3cat cast pass) and pin padding
                                      # rows to the 1e6 never-wins sentinel
+    zero_transient: bool = False,    # capacity mode (split3/highest only):
+                                     # ``db`` is the FULL resident raw block
+                                     # (q, kd+1) incl. the jr-pointer column;
+                                     # the kernel consumes it directly with
+                                     # the DB affine folded into prescaled
+                                     # targets — NO per-step derived DB
+                                     # operand is materialised in HBM (see
+                                     # the docstring).  Requires db_affine.
+    m_rows: int | None = None,       # zero-transient only: DB rows (static,
+                                     # % chunk == 0); rows beyond are the
+                                     # raw block's halo/exception tail and
+                                     # are never visited by the grid
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k nearest DB rows per target row, fully fused.
 
@@ -423,22 +444,57 @@ def pallas_topk_preselect(
     if db_major is None:
         # full-width running state must fit comfortably in VMEM
         db_major = (T * k * 8 <= 8 * 2**20) and (t_tile % 128 == 0)
-    M = db.shape[0]
     assert T % t_tile == 0, f"T={T} must be a multiple of {t_tile}"
-    assert M % chunk == 0, f"M={M} must be a multiple of {chunk}"
-    n_chunks = M // chunk
-    if db_affine is not None:
+    mask_col = None
+    comp = None
+    if zero_transient:
+        # Capacity mode: fold the DB affine into the algebra so the kernel
+        # reads the RESIDENT raw block with no derived per-step HBM operand:
+        #   u_norm . t_w = u_raw . (t_w * w/std) - mean . (t_w * w/std)
+        # The second term is a per-target constant — rank-irrelevant inside
+        # a row — dropped in-kernel and COMPENSATED on the returned scores,
+        # so callers see the same score convention as every other path.
+        # ||u_norm||^2 is a fused reduce over the raw block (reads 4·kd
+        # B/row once, materialises only the (M,) vector).  Padding rows
+        # (zeros in the raw block) take the same 1e6-affine never-wins
+        # sentinel sqn as the derived-operand path.
+        assert db_affine is not None, "zero_transient requires db_affine"
+        assert mm_precision in ("split3", "highest"), (
+            "zero_transient supports split3/highest; split3cat's bf16 "
+            "concat operand must be materialised per step (see ROADMAP)")
         from snickery_tpu.voicedb.device_layout import affine_rows
         am, astd, aw, n_real = db_affine
+        kd = am.shape[0]
+        assert db.shape[1] == kd + 1, (db.shape, kd)
+        M = db.shape[0] if m_rows is None else m_rows
+        assert M % chunk == 0, f"m_rows={M} must be a multiple of {chunk}"
+        assert M <= db.shape[0], (M, db.shape)
+        n_chunks = M // chunk
+        scale = aw / astd
+        t2 = targets * scale[None, :]
+        comp = 2.0 * (t2 @ am)                               # (T,)
+        targets = jnp.pad(t2, ((0, 0), (0, 1)))              # zero ptr col
         valid = jnp.arange(M, dtype=jnp.int32) < n_real
-        # fuses with the split3cat cast pass below — no standalone f32
-        # derived copy of the DB is kept in HBM
-        db = affine_rows(db, am, astd, aw, valid, 1e6)
-    sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk, 1)
-    if mm_precision == "split3cat":
-        targets = _split3cat_targets(targets)
-        db = split3cat_db(db)
-        d = targets.shape[1]
+        dbn = affine_rows(db[:M, :kd], am, astd, aw, valid, 1e6)
+        sqn = jnp.sum(dbn * dbn, axis=-1).reshape(n_chunks, chunk, 1)
+        d = kd + 1
+        mask_col = kd
+    else:
+        M = db.shape[0]
+        assert M % chunk == 0, f"M={M} must be a multiple of {chunk}"
+        n_chunks = M // chunk
+        if db_affine is not None:
+            from snickery_tpu.voicedb.device_layout import affine_rows
+            am, astd, aw, n_real = db_affine
+            valid = jnp.arange(M, dtype=jnp.int32) < n_real
+            # fuses with the split3cat cast pass below — no standalone f32
+            # derived copy of the DB is kept in HBM
+            db = affine_rows(db, am, astd, aw, valid, 1e6)
+        sqn = jnp.sum(db * db, axis=-1).reshape(n_chunks, chunk, 1)
+        if mm_precision == "split3cat":
+            targets = _split3cat_targets(targets)
+            db = split3cat_db(db)
+            d = targets.shape[1]
     has_part = partition is not None
     has_ling = linguistic is not None
 
@@ -494,7 +550,7 @@ def pallas_topk_preselect(
     in_specs = make_specs(ti, ci)
     out_map = lambda i, j: (0, ti(i, j))
     kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
-                               has_part, has_ling, ling_weights,
+                               has_part, has_ling, ling_weights, mask_col,
                                t_tile, chunk, block, db_major, select)
     grid = ((n_chunks, n_tiles) if db_major else (n_tiles, n_chunks))
     scratch_shapes = [
@@ -524,6 +580,11 @@ def pallas_topk_preselect(
     # Callers that treat the k candidates as a SET (the Viterbi pipeline)
     # pass sort=False and skip the lexsort entirely.
     vals_t, cols_t = vals.T, cols.T
+    if comp is not None:
+        # restore the dropped per-target constant (zero-transient mode):
+        # selection is already done, so a per-row shift cannot change it;
+        # inf (partition-starved) slots stay inf
+        vals_t = vals_t + comp[:, None]
     if not sort:
         return cols_t, vals_t
     order = jnp.lexsort((cols_t, vals_t), axis=-1)

@@ -31,7 +31,8 @@ from snickery_tpu.const import ID_RANK_PENALTY, PRESELECT_MARGIN
 
 
 def preselect_margin(use_pallas: bool, mm_precision: str,
-                     halfphone: bool = False) -> int:
+                     halfphone: bool = False,
+                     zero_transient: bool = False) -> int:
     """Extra preselect rank slots under approximate kernel precisions.
 
     The Pallas kernel RANKS with bf16-split matmuls for split3/split3cat;
@@ -41,8 +42,11 @@ def preselect_margin(use_pallas: bool, mm_precision: str,
     its final keep is by :func:`halfphone_exact_rank` (exact f32 squared
     distance + exact penalty constants), so margin slots rescue same-name
     and fallback candidates the approximate kernel ranking misplaced.
+    ``zero_transient`` (capacity mode) folds the DB affine into prescaled
+    targets, so even "highest" ranks with a differently-rounded f32
+    expression than the exact rescoring — give it the same margin.
     """
-    if use_pallas and mm_precision != "highest":
+    if use_pallas and (mm_precision != "highest" or zero_transient):
         return PRESELECT_MARGIN
     return 0
 

@@ -174,7 +174,10 @@ def _select_decode_batch(
     # the 1e6 never-wins sentinel in the derived operand
     nr_local = jnp.clip(n_real - shard_id * m_local, 0, m_local)
     db_affine = (*aff_t, nr_local)
-    db_op = raw_shard[:m_local, :kd]
+    # zero-transient capacity mode (split3/highest Pallas): the kernel
+    # consumes the resident raw shard directly — see ops.pallas_topk
+    zt = use_pallas and mm_precision != "split3cat"
+    db_op = raw_shard if zt else raw_shard[:m_local, :kd]
     # a sharded DB slice need not stay divisible by the configured scan
     # chunk (Pallas padding scales by mesh_db, not by this chunk): fall
     # back to the largest common divisor so topk_preselect's divisibility
@@ -185,7 +188,8 @@ def _select_decode_batch(
     tw = jnp.where(live[:, :, None], targets, 0.0)
     tw_flat = tw.reshape(B * T, D)
 
-    margin = preselect_margin(use_pallas, mm_precision, halfphone)
+    margin = preselect_margin(use_pallas, mm_precision, halfphone,
+                              zero_transient=zt)
     k_local = min(n_cand + margin, m_local)
     tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)            # (B*T,)
     ling = None
@@ -210,7 +214,8 @@ def _select_decode_batch(
         idx_local, scores_local = pallas_topk_preselect(
             tw_k, db_op, k=k_local, mm_precision=mm_precision, sort=False,
             partition=part, linguistic=ling_k, ling_weights=ling_weights,
-            interpret=pallas_interpret, db_affine=db_affine)
+            interpret=pallas_interpret, db_affine=db_affine,
+            zero_transient=zt, m_rows=m_local if zt else None)
         if pad:
             idx_local = idx_local[:rows]
             scores_local = scores_local[:rows]

@@ -154,15 +154,22 @@ def synth_pipeline_step(
     part = (tgt_vids, db.vids) if multivoice else None
     # rank margin under approximate kernel precisions: preselect k+margin,
     # keep the exact top-k after rescoring below (ops.topk.preselect_margin)
-    margin = preselect_margin(use_pallas, mm_precision, halfphone)
+    # zero-transient capacity mode: split3/highest kernels consume the
+    # resident raw block directly (affine folded into prescaled targets,
+    # ops.pallas_topk) — no per-step derived DB operand in HBM.  split3cat
+    # keeps its materialised bf16 concat operand (speed mode).
+    zt = use_pallas and mm_precision != "split3cat"
+    margin = preselect_margin(use_pallas, mm_precision, halfphone,
+                              zero_transient=zt)
     k_sel = min(n_cand + margin, m_pad)
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
-            tw, db.raw[:m_pad, :kd], k=k_sel, mm_precision=mm_precision,
+            tw, db.raw if zt else db.raw[:m_pad, :kd], k=k_sel,
+            mm_precision=mm_precision,
             sort=False, partition=part, linguistic=ling,
             ling_weights=ling_weights, interpret=pallas_interpret,
-            db_affine=aff)
+            db_affine=aff, zero_transient=zt, m_rows=m_pad if zt else None)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.raw[:m_pad, :kd], k=n_cand, chunk=chunk, linguistic=ling,
@@ -274,14 +281,16 @@ def _streaming_step(
     live = jnp.arange(T, dtype=jnp.int32) < length
     tw = jnp.where(live[:, None], tw, 0.0)
     part = (tgt_codes, db.vids) if multivoice else None
-    margin = preselect_margin(use_pallas, mm_precision)
+    zt = use_pallas and mm_precision != "split3cat"
+    margin = preselect_margin(use_pallas, mm_precision, zero_transient=zt)
     k_sel = min(n_cand + margin, m_pad)
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
-            tw, db.raw[:m_pad, :kd], k=k_sel, mm_precision=mm_precision,
+            tw, db.raw if zt else db.raw[:m_pad, :kd], k=k_sel,
+            mm_precision=mm_precision,
             sort=False, partition=part, interpret=pallas_interpret,
-            db_affine=aff)
+            db_affine=aff, zero_transient=zt, m_rows=m_pad if zt else None)
     else:
         cand_idx, scores = topk_preselect(
             tw, db.raw[:m_pad, :kd], k=n_cand, chunk=chunk, partition=part,

@@ -213,3 +213,83 @@ def test_pallas_split3cat_vs_oracle():
     np.testing.assert_allclose(true_sq, ref_sq, rtol=5e-3, atol=5e-3)
     agree = (np.asarray(idx) == ref_idx).mean()
     assert agree > 0.93, f"index agreement {agree:.4f}"
+
+
+def _raw_voice(rng, m, M, kd):
+    """Raw feature rows + jr with utterance-boundary exceptions, padded to
+    M rows via voicedb.device_layout (same structure as __graft_entry__)."""
+    from snickery_tpu.voicedb.device_layout import build_raw_blocks
+    feats = rng.standard_normal((m, kd)).astype(np.float32)
+    jr = np.empty((m, kd), np.float32)
+    jr[:-1] = feats[1:]
+    jr[-1] = rng.standard_normal(kd).astype(np.float32)
+    bnd = np.arange(39, m, 40)
+    jr[bnd] = rng.standard_normal((len(bnd), kd)).astype(np.float32)
+    raw, q, m_s = build_raw_blocks(feats, jr, M, ndb=1)
+    return feats, raw
+
+
+@pytest.mark.parametrize("mm_precision,seed", [("highest", 81), ("split3", 82)])
+def test_pallas_zero_transient_matches_derived(mm_precision, seed):
+    """Capacity mode (raw-block operand, affine folded into prescaled
+    targets) selects the same candidates as the derived-operand path, and
+    the compensated scores match.  Exercises the jr-pointer column mask,
+    the q %% chunk != 0 raw tail, and never-wins padding rows."""
+    rng = np.random.default_rng(seed)
+    m, kd, k = CHUNK + 700, 24, 10
+    M = 2 * CHUNK                       # n_real < m_rows: padding exercised
+    _, raw = _raw_voice(rng, m, M, kd)
+    mean = (0.1 * rng.standard_normal(kd)).astype(np.float32)
+    std = rng.uniform(0.5, 2.0, kd).astype(np.float32)
+    w = rng.uniform(0.2, 1.0, kd).astype(np.float32)
+    aff = (jnp.asarray(mean), jnp.asarray(std), jnp.asarray(w),
+           jnp.int32(m))
+    T = T_TILE
+    targets = rng.standard_normal((T, kd)).astype(np.float32)
+    i_zt, v_zt = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(raw), k=k, interpret=True,
+        mm_precision=mm_precision, db_affine=aff,
+        zero_transient=True, m_rows=M)
+    i_d, v_d = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(raw[:M, :kd]), k=k,
+        interpret=True, mm_precision=mm_precision, db_affine=aff)
+    i_zt, i_d = np.asarray(i_zt), np.asarray(i_d)
+    v_zt, v_d = np.asarray(v_zt), np.asarray(v_d)
+    assert (i_zt < m).all(), "padding rows must never be selected"
+    overlap = np.mean([len(np.intersect1d(i_zt[t], i_d[t])) / k
+                       for t in range(T)])
+    assert overlap > 0.99, f"candidate-set overlap {overlap:.4f}"
+    same = i_zt == i_d
+    tol = 1e-4 if mm_precision == "highest" else 2e-3
+    np.testing.assert_allclose(v_zt[same], v_d[same], rtol=tol, atol=tol)
+
+
+def test_pallas_zero_transient_fused_masks():
+    """Partition + quinphone penalties compose with the raw-block operand."""
+    rng = np.random.default_rng(83)
+    m, kd, k = CHUNK - 100, 16, 6
+    M = CHUNK
+    _, raw = _raw_voice(rng, m, M, kd)
+    from snickery_tpu.voicedb.device_layout import identity_affine
+    am, astd, aw = identity_affine(kd)
+    aff = (jnp.asarray(am), jnp.asarray(astd), jnp.asarray(aw), jnp.int32(m))
+    T = T_TILE
+    targets = rng.standard_normal((T, kd)).astype(np.float32)
+    tgt_part = rng.integers(0, 2, T).astype(np.int32)
+    db_part = rng.integers(0, 2, M).astype(np.int32)
+    tgt_codes = rng.integers(0, 5, T).astype(np.int32)
+    tgt_ctx = rng.integers(0, 4, (T, 5)).astype(np.int32)
+    db_codes = rng.integers(0, 5, M).astype(np.int32)
+    db_ctx = rng.integers(0, 4, (M, 5)).astype(np.int32)
+    idx, vals = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(raw), k=k, interpret=True,
+        mm_precision="highest",
+        partition=(jnp.asarray(tgt_part), jnp.asarray(db_part)),
+        linguistic=(jnp.asarray(tgt_codes), jnp.asarray(tgt_ctx),
+                    jnp.asarray(db_codes), jnp.asarray(db_ctx)),
+        db_affine=aff, zero_transient=True, m_rows=M)
+    idx, vals = np.asarray(idx), np.asarray(vals)
+    live = np.isfinite(vals)
+    assert (db_part[idx][live] == np.broadcast_to(
+        tgt_part[:, None], idx.shape)[live]).all()
+    assert (idx[live] < m).all()
