@@ -811,6 +811,104 @@ def run_me2_mode(args, extra: dict):
                             "n_units": db.n_units, "multiepoch": 2}
 
 
+# ------------------------------------------- single-chip capacity demo (~8M)
+def run_capacity_mode(args, extra: dict):
+    """~8M epoch units on ONE chip via the zero-transient `split3` kernel
+    (the preselect operand is the resident raw block — no per-step derived
+    copy in HBM; see ops/pallas_topk.py and ARCHITECTURE.md).  NOT in the
+    default mode list: the corpus build is ~1 h of host time and the mode
+    exists to evidence the capacity ceiling, not the headline RTF.  The
+    float64 host oracle is ~50 min at this scale, so the fidelity gate here
+    is split3-vs-highest unit agreement (both zero-transient, independent
+    rounding paths) with the same tie adjustment as config3."""
+    import jax
+    import jax.numpy as jnp
+    from snickery_tpu import utils
+    from snickery_tpu.parallel import batched_synth_step
+    from snickery_tpu.synth import Synthesiser
+    from snickery_tpu.voicedb.build import build_voicedb
+
+    cfg = bench_config(voice_name="bench8m", preselect_precision="split3")
+    n_utts = args.cap_units // 767
+
+    db = get_voice(
+        "bench8m",
+        lambda: build_voicedb(cfg, make_corpus(n_utts, 40, 300_000, False)),
+        cfg, args.rebuild)
+    t0 = time.time()
+    synth = Synthesiser(cfg, db=db)
+    synth.ensure_sharded()
+    log(f"capacity: device DB prepared in {time.time()-t0:.0f}s "
+        f"({synth.n_units_padded} padded units)")
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        hbm_gb = ms.get("bytes_in_use", 0) / 2**30
+        log(f"capacity: device bytes_in_use {hbm_gb:.2f} GB")
+    except Exception:
+        hbm_gb = None
+
+    B = 8
+    tgt_feats, _, _ = held_out_features(B, 128, seed0=97_000)
+    t_cap = cfg.length_buckets[0] + 2
+    prepped = [synth.targets_from_features(f[:t_cap]) for f in tgt_feats]
+    t_bucket = utils.bucket_length(max(n for _, n in prepped),
+                                   tuple(cfg.length_buckets))
+    tgts = np.zeros((B, t_bucket, db.target_dim), np.float32)
+    lengths = np.zeros(B, np.int32)
+    for b, (tu, n) in enumerate(prepped):
+        tgts[b, :n] = tu
+        lengths[b] = n
+    out_len = utils.next_multiple(
+        t_bucket * synth.max_span + 2 * cfg.taper_length, 128)
+    tgts_dev, lengths_dev = jnp.asarray(tgts), jnp.asarray(lengths)
+
+    def step(p=cfg.preselect_precision):
+        return batched_synth_step(
+            synth._sharded_voice, tgts_dev, lengths_dev,
+            jnp.float32(JCW), jnp.float32(0.0),
+            mesh=synth._mesh, n_cand=cfg.n_candidates, chunk=synth.chunk,
+            max_frag=synth.max_frag, out_len=out_len, taper=cfg.taper_length,
+            use_pallas=synth._use_pallas(), mm_precision=p)
+
+    t0 = time.time()
+    out = sync(step())
+    log(f"capacity: first step (incl. compile) {time.time()-t0:.0f}s")
+    t0 = time.time()
+    n_it = max(2, args.iters // 2)
+    outs = [step() for _ in range(n_it)]
+    out = outs[-1]
+    sync(out)
+    wall = (time.time() - t0) / n_it
+    audio_sec = float(np.asarray(out[3]).sum()) / SR
+    rtf = wall / audio_sec
+    log(f"capacity ({db.n_units} units on ONE chip, zero-transient split3): "
+        f"{wall*1e3:.0f} ms/step, {audio_sec:.1f} audio-sec/step, "
+        f"rtf {rtf:.5f}")
+    ref = sync(step("highest"))
+    mask = (np.arange(t_bucket)[None, :] < lengths[:, None])
+    ids_a = np.asarray(out[0])[mask]
+    ids_b = np.asarray(ref[0])[mask]
+    raw = float((ids_a == ids_b).mean())
+    m = ids_a != ids_b
+    uids = np.unique(np.concatenate([ids_a[m], ids_b[m]]))
+    fw = np.asarray(db.unit_features[uids])
+    jlw = np.asarray(db.join_left[uids])
+    jrw = np.asarray(db.join_right[uids])
+    pa, pb = np.searchsorted(uids, ids_a[m]), np.searchsorted(uids, ids_b[m])
+    eq = ((fw[pa] == fw[pb]).all(-1) & (jlw[pa] == jlw[pb]).all(-1)
+          & (jrw[pa] == jrw[pb]).all(-1))
+    adj = float(((~m).sum() + eq.sum()) / ids_a.size)
+    log(f"capacity agreement (split3 vs highest): raw {raw:.5f}, "
+        f"tie-adjusted {adj:.5f}")
+    extra["capacity"] = {
+        "rtf": rtf, "ms_per_step": wall * 1e3, "n_units": db.n_units,
+        "precision": "split3_zero_transient", "batch": B,
+        "hbm_bytes_in_use_gb": hbm_gb,
+        "agreement_split3_vs_highest": raw,
+        "agreement_tie_adjusted": adj,
+    }
+
+
 # ------------------------------------------------------------ config #2 halfphone
 def run_halfphone_mode(args, extra: dict):
     import jax.numpy as jnp
@@ -1126,6 +1224,9 @@ def main(argv=None) -> int:
                          "me2 costs a second 1M-unit device upload but no new "
                          "tunnel stall and runs before the quality trend)")
     ap.add_argument("--units", type=int, default=1_048_576)
+    ap.add_argument("--cap-units", type=int, default=8_388_608,
+                    help="capacity mode (--modes capacity, NOT default): "
+                         "single-chip unit count for the zero-transient demo")
     ap.add_argument("--hp-units", type=int, default=50_000)
     ap.add_argument("--mv-units", type=int, default=262_144)
     ap.add_argument("--mv-batch", type=int, default=64)
@@ -1222,6 +1323,9 @@ def main(argv=None) -> int:
         run_one("me2", run_me2_mode, reserve=150.0 if me2_cached else 800.0)
     if "quality" in modes:
         run_one("quality", run_quality_mode, synth, reserve=120.0)
+    if "capacity" in modes:
+        # opt-in only (~1 h host corpus build on first run, ~5 GB upload)
+        run_one("capacity", run_capacity_mode, reserve=600.0)
 
     extra["bench_elapsed_sec"] = round(elapsed(), 1)
     emit_final()
