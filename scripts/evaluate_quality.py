@@ -32,7 +32,19 @@ def main(argv=None) -> int:
     ap.add_argument("-s", "--synth-dir", required=True)
     ap.add_argument("-r", "--ref-dir", required=True)
     ap.add_argument("-N", "--max-files", type=int, default=0)
+    ap.add_argument("-c", "--config", default="",
+                    help="voice config: enables join-discontinuity reporting "
+                         "when the synth dir holds <base>.units.npy files "
+                         "(synth_halfphone.py --dump-units)")
     args = ap.parse_args(argv)
+
+    db = taper = None
+    if args.config:
+        from snickery_tpu.config import load_config
+        from snickery_tpu.voicedb.db import VoiceDB
+        cfg = load_config(args.config)
+        db = VoiceDB.load(os.path.join(cfg.workdir, cfg.voice_name + ".voicedb"))
+        taper = cfg.taper_length
 
     bases = sorted(
         os.path.splitext(f)[0] for f in os.listdir(args.synth_dir)
@@ -45,7 +57,7 @@ def main(argv=None) -> int:
         logger.error("no paired wavs between %s and %s", args.synth_dir, args.ref_dir)
         return 1
 
-    mcds = []
+    mcds, fluxes = [], []
     for base in bases:
         synth, sr = read_wave(os.path.join(args.synth_dir, base + ".wav"))
         ref, sr2 = read_wave(os.path.join(args.ref_dir, base + ".wav"))
@@ -54,11 +66,33 @@ def main(argv=None) -> int:
             continue
         mcd = mel_cepstral_distortion(synth, ref, sr)
         mcds.append(mcd)
-        logger.info("%s: MCD %.2f dB", base, mcd)
+        flux_msg = ""
+        units_path = os.path.join(args.synth_dir, base + ".units.npy")
+        if db is not None and os.path.exists(units_path):
+            # same join-sample derivation as bench._join_flux: unit i starts
+            # at taper + sum of previous spans; corpus-consecutive units
+            # reconstruct the corpus exactly, so only NON-natural joins count
+            ids = np.load(units_path)
+            cuts = db.cutpoints
+            spans = (cuts[ids, 2] - cuts[ids, 1]).astype(np.int64)
+            starts = taper + np.cumsum(spans) - spans
+            nonnat = np.nonzero(cuts[ids[1:], 1] != cuts[ids[:-1], 2])[0] + 1
+            out = join_discontinuity(synth, sr, starts[nonnat])
+            fluxes.append(out["ratio"])
+            flux_msg = (f", join flux ratio {out['ratio']:.2f} "
+                        f"({len(nonnat)} joins)")
+        logger.info("%s: MCD %.2f dB%s", base, mcd, flux_msg)
 
     mean_mcd = float(np.nanmean(mcds)) if mcds else float("nan")
-    print(json.dumps({"metric": "mcd_db", "value": mean_mcd,
-                      "n_utterances": len(mcds)}))
+    summary = {"metric": "mcd_db", "value": mean_mcd,
+               "n_utterances": len(mcds)}
+    finite = [f for f in fluxes if np.isfinite(f)]
+    if finite:
+        # utterances with zero non-natural joins report nan (nothing to
+        # measure) — keep the JSON line strict-parser safe by omitting the
+        # key when no utterance had a real join
+        summary["join_flux_ratio"] = float(np.mean(finite))
+    print(json.dumps(summary))
     return 0
 
 

@@ -57,8 +57,6 @@ from snickery_tpu.ops.viterbi import greedy_decode, viterbi_decode
 from snickery_tpu.voicedb.device_layout import (affine_rows,
                                                 gather_join_contexts)
 
-from snickery_tpu import utils
-
 
 class ShardedVoice(NamedTuple):
     """Device arrays of a voice DB placed on a (data, db) mesh."""

@@ -13,7 +13,6 @@ preselect kernel tiles cleanly and the row count divides a db-shard mesh axis
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from dataclasses import dataclass, field

@@ -6,7 +6,6 @@ feature extraction driver, `-c CONFIG` train/synth entry points, wav outputs.
 
 import json
 import os
-import sys
 
 import numpy as np
 import pytest

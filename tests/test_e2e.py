@@ -181,7 +181,6 @@ def test_synth_batch_matches_single(epoch_voice):
 
 
 def test_join_smoothing_resynthesis(epoch_voice):
-    import dataclasses
     cfg, db, utts, synth = epoch_voice
     utt = utts[0]
     result = synth.synth_from_features(utt.features)

@@ -1,7 +1,6 @@
 """Feature extraction tests: epochs, magphase roundtrip, MFCC, STFT."""
 
 import numpy as np
-import pytest
 
 from snickery_tpu.features import (
     detect_epochs, f0_from_epochs, magphase_analysis, magphase_synthesis,

@@ -161,7 +161,6 @@ def test_cli_merge_and_voice_flag(two_voices, tmp_path):
     from the command line."""
     import dataclasses
     import json
-    import os
     from snickery_tpu.cli import main as cli_main
     from snickery_tpu.io.speech import read_wave, write_wave
     from tests.toyvoice import SR, synth_utterance
