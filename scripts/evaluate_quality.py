@@ -21,7 +21,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from snickery_tpu import utils
-from snickery_tpu.evaluate import join_discontinuity, mel_cepstral_distortion
+from snickery_tpu.evaluate import (f0_metrics, join_discontinuity,
+                                   mel_cepstral_distortion)
 from snickery_tpu.io.speech import read_wave
 
 logger = utils.logger
@@ -57,7 +58,7 @@ def main(argv=None) -> int:
         logger.error("no paired wavs between %s and %s", args.synth_dir, args.ref_dir)
         return 1
 
-    mcds, fluxes = [], []
+    mcds, fluxes, ffes, f0rmses = [], [], [], []
     for base in bases:
         synth, sr = read_wave(os.path.join(args.synth_dir, base + ".wav"))
         ref, sr2 = read_wave(os.path.join(args.ref_dir, base + ".wav"))
@@ -66,6 +67,9 @@ def main(argv=None) -> int:
             continue
         mcd = mel_cepstral_distortion(synth, ref, sr)
         mcds.append(mcd)
+        prosody = f0_metrics(synth, ref, sr)
+        ffes.append(prosody["ffe"])
+        f0rmses.append(prosody["f0_rmse_hz"])
         flux_msg = ""
         units_path = os.path.join(args.synth_dir, base + ".units.npy")
         if db is not None and os.path.exists(units_path):
@@ -81,11 +85,16 @@ def main(argv=None) -> int:
             fluxes.append(out["ratio"])
             flux_msg = (f", join flux ratio {out['ratio']:.2f} "
                         f"({len(nonnat)} joins)")
-        logger.info("%s: MCD %.2f dB%s", base, mcd, flux_msg)
+        logger.info("%s: MCD %.2f dB, FFE %.3f, f0 RMSE %.1f Hz%s",
+                    base, mcd, prosody["ffe"], prosody["f0_rmse_hz"], flux_msg)
 
     mean_mcd = float(np.nanmean(mcds)) if mcds else float("nan")
     summary = {"metric": "mcd_db", "value": mean_mcd,
                "n_utterances": len(mcds)}
+    if ffes and np.isfinite(ffes).any():
+        summary["ffe"] = float(np.nanmean(ffes))
+    if f0rmses and np.isfinite(f0rmses).any():
+        summary["f0_rmse_hz"] = float(np.nanmean(f0rmses))
     finite = [f for f in fluxes if np.isfinite(f)]
     if finite:
         # utterances with zero non-natural joins report nan (nothing to

@@ -112,6 +112,65 @@ def mel_cepstral_distortion(
     return float(_MCD_CONST * np.mean(np.sqrt((diff ** 2).sum(-1))))
 
 
+def f0_metrics(
+    synth_wave: np.ndarray, ref_wave: np.ndarray, sr: int
+) -> dict:
+    """Standard prosody-error trio between synthesised and reference audio:
+
+    - ``vde``: voicing decision error — fraction of aligned frame pairs
+      whose voiced/unvoiced decisions disagree.
+    - ``gpe``: gross pitch error — fraction of both-voiced pairs whose f0
+      deviates by more than 20%.
+    - ``ffe``: f0 frame error = vde + gpe contributions (the union), the
+      single-number summary used in the TTS literature.
+    - ``f0_rmse_hz``: RMSE over both-voiced pairs, Hz.
+
+    Frames are aligned with the same MFCC DTW used for MCD (synthesis
+    output lengths differ from the originals), then mapped to the 10 ms
+    f0 grid by frame-centre time.  The reference validated prosody by
+    listening only (SURVEY.md §4); this is the objective proxy.
+    """
+    from snickery_tpu.features.epochs import track_f0_autocorr
+
+    sw = np.asarray(synth_wave, np.float32)
+    rw = np.asarray(ref_wave, np.float32)
+    f0a, ca, _ = track_f0_autocorr(sw, sr)
+    f0b, cb, _ = track_f0_autocorr(rw, sr)
+    a = _mfcc(sw, sr)
+    b = _mfcc(rw, sr)
+    if len(a) < 2 or len(b) < 2 or not len(f0a) or not len(f0b):
+        return {"vde": float("nan"), "gpe": float("nan"),
+                "ffe": float("nan"), "f0_rmse_hz": float("nan")}
+    cost = np.sqrt(((a[:, None, 1:] - b[None, :, 1:]) ** 2).sum(-1))
+    pi, pj = dtw_path(cost)
+    # MFCC frame index -> nearest f0 frame (different hops; map via the
+    # frame-centre sample position)
+    ia = np.searchsorted(ca, pi * _MCD_HOP + _MCD_FRAME // 2)
+    ib = np.searchsorted(cb, pj * _MCD_HOP + _MCD_FRAME // 2)
+    ia = np.clip(ia, 0, len(f0a) - 1)
+    ib = np.clip(ib, 0, len(f0b) - 1)
+    # collapse duplicate (ia, ib) pairs introduced by the hop mismatch
+    pairs = np.unique(np.stack([ia, ib], axis=1), axis=0)
+    va = f0a[pairs[:, 0]]
+    vb = f0b[pairs[:, 1]]
+    voiced_a = va > 0
+    voiced_b = vb > 0
+    n = len(pairs)
+    vde_mask = voiced_a != voiced_b
+    both = voiced_a & voiced_b
+    if both.any():
+        rel = np.abs(va[both] - vb[both]) / vb[both]
+        gpe_mask = rel > 0.20
+        f0_rmse = float(np.sqrt(np.mean((va[both] - vb[both]) ** 2)))
+        gpe = float(gpe_mask.sum()) / n
+    else:
+        gpe, f0_rmse = float("nan"), float("nan")
+        gpe_mask = np.zeros(0, bool)
+    vde = float(vde_mask.sum()) / n
+    ffe = vde + (gpe if np.isfinite(gpe) else 0.0)
+    return {"vde": vde, "gpe": gpe, "ffe": ffe, "f0_rmse_hz": f0_rmse}
+
+
 def join_discontinuity(
     wave: np.ndarray, sr: int, join_samples: np.ndarray, width: int = 256
 ) -> dict:

@@ -3,7 +3,7 @@
 import numpy as np
 
 from snickery_tpu.evaluate import (
-    dtw_path, join_discontinuity, mel_cepstral_distortion,
+    dtw_path, f0_metrics, join_discontinuity, mel_cepstral_distortion,
 )
 
 
@@ -43,6 +43,36 @@ def test_join_discontinuity_flags_clicks(toy_wave, rng):
         clicky[j:] = -clicky[j:]
     r2 = join_discontinuity(clicky, sr, joins)
     assert r2["ratio"] > smooth["ratio"]
+
+
+def test_f0_metrics_identity(toy_wave):
+    wave, sr = toy_wave
+    m = f0_metrics(wave, wave, sr)
+    assert m["vde"] == 0.0
+    assert m["gpe"] == 0.0
+    assert m["ffe"] == 0.0
+    assert m["f0_rmse_hz"] < 1.0
+
+
+def test_f0_metrics_flags_pitch_shift(toy_wave):
+    wave, sr = toy_wave
+    # same spectral envelope machinery, f0 scaled 1.4x (>20% => gross error)
+    t = np.arange(sr) / sr
+    f0 = 1.4 * (120.0 + 20.0 * np.sin(2 * np.pi * 0.7 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    shifted = (0.5 * np.sin(phase) + 0.25 * np.sin(2 * phase)
+               + 0.12 * np.sin(3 * phase)).astype(np.float32)
+    m = f0_metrics(shifted, wave, sr)
+    assert m["gpe"] > 0.5
+    assert m["f0_rmse_hz"] > 20.0
+    assert m["ffe"] >= m["gpe"]
+
+
+def test_f0_metrics_flags_voicing_error(toy_wave, rng):
+    wave, sr = toy_wave
+    noise = 0.3 * rng.standard_normal(len(wave)).astype(np.float32)
+    m = f0_metrics(noise, wave, sr)
+    assert m["vde"] > 0.5
 
 
 def test_quality_script(tmp_path, toy_wave):
