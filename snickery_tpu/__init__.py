@@ -23,6 +23,18 @@ Public API:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("SNICKERY_PLATFORM"):
+    # Honour SNICKERY_PLATFORM=cpu|tpu BEFORE any backend is instantiated:
+    # lets the CLIs run host-side (debugging, or while a TPU job owns the
+    # chip) without touching JAX_PLATFORMS, which hosted environments may
+    # pre-set and pre-import (a late env-var write is ignored — the config
+    # API is the only reliable override; same trick as tests/conftest.py).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SNICKERY_PLATFORM"])
+
 from snickery_tpu.config import SnickeryConfig, load_config
 
 __all__ = [

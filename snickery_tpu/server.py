@@ -1,0 +1,290 @@
+"""Serving layer: a persistent synthesis server with dynamic batching.
+
+The reference is a research CLI — one process per run, no serving surface
+(SURVEY.md §1: "no API-server layer").  Production TPU deployment wants the
+opposite shape: ONE long-lived process that pays voice upload + compilation
+once, then coalesces concurrent requests into batched device steps —
+single-utterance steps waste the ~40 ms fixed per-step cost and the MXU
+width that `synth_batch` amortises (measured RTF 0.00167 at B=8 vs 0.00151
+at B=32 on the 1M-unit bench voice).
+
+Two pieces, separable for testing:
+
+- :class:`DynamicBatcher` — a worker thread that drains a request queue,
+  groups compatible requests (same greedy flag), and runs ONE
+  ``Synthesiser.synth_batch`` per group.  Requests arriving while a device
+  step is in flight pile up and ship in the next step, so the batch size
+  adapts to load with no tuning; ``max_wait_ms`` bounds the extra latency a
+  lone request pays waiting for company.
+- :class:`SynthHTTPServer` — a stdlib ``ThreadingHTTPServer`` front end:
+  ``POST /synth`` (JSON in, JSON with base64 float32 wave out),
+  ``GET /health``, ``GET /info``, ``GET /stats``.
+
+Run: ``python -m snickery_tpu.server -c voice.json --port 8300``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from snickery_tpu import utils
+
+logger = utils.logger
+
+
+class _Request:
+    __slots__ = ("features", "voice", "greedy", "future", "t_enqueue")
+
+    def __init__(self, features, voice, greedy):
+        self.features = features
+        self.voice = voice
+        self.greedy = bool(greedy)
+        self.future = Future()
+        self.t_enqueue = time.time()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent synthesis requests into batched device steps.
+
+    ``submit`` is thread-safe and returns a ``concurrent.futures.Future``
+    resolving to the ``synth_from_features``-shaped result dict.  The
+    worker drains everything queued (up to ``max_batch``), waiting at most
+    ``max_wait_ms`` after the first request for stragglers; requests with
+    different ``greedy`` flags run as separate device steps (different
+    compiled programs).
+    """
+
+    def __init__(self, synth, max_batch: int = 32, max_wait_ms: float = 20.0,
+                 max_queue: int = 256):
+        self.synth = synth
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self.q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "max_batch_seen": 0, "errors": 0}
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- client side -------------------------------------------------------
+    def submit(self, features: np.ndarray, voice=None,
+               greedy: bool = False) -> Future:
+        req = _Request(np.asarray(features, np.float32), voice, greedy)
+        self.q.put_nowait(req)          # raises queue.Full -> caller maps to 503
+        return req.future
+
+    # -- worker side -------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="snickery-batcher")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
+
+    def _collect(self) -> list[_Request]:
+        """Block for the first request, then drain stragglers for up to
+        max_wait_ms (or until max_batch)."""
+        try:
+            first = self.q.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.time() + self.max_wait_ms / 1e3
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def run_pending_once(self):
+        """Drain and run what is queued right now (test/synchronous hook)."""
+        batch = []
+        while len(batch) < self.max_batch:
+            try:
+                batch.append(self.q.get_nowait())
+            except queue.Empty:
+                break
+        if batch:
+            self._run_batch(batch)
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if batch:
+                self._run_batch(batch)
+
+    def _run_batch(self, batch: list[_Request]):
+        self.stats["requests"] += len(batch)
+        # same-greedy requests share one compiled batched program
+        for flag in sorted({r.greedy for r in batch}):
+            group = [r for r in batch if r.greedy == flag]
+            voices = None
+            if any(r.voice is not None for r in group):
+                voices = [r.voice for r in group]
+            try:
+                results = self.synth.synth_batch(
+                    [r.features for r in group], greedy=flag, voices=voices)
+                for r, res in zip(group, results):
+                    r.future.set_result(res)
+            except Exception as e:  # noqa: BLE001 — fail the requests, not the server
+                self.stats["errors"] += len(group)
+                for r in group:
+                    r.future.set_exception(e)
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(group)
+            self.stats["max_batch_seen"] = max(
+                self.stats["max_batch_seen"], len(group))
+
+
+def _b64_f32(arr: np.ndarray) -> str:
+    return base64.b64encode(np.asarray(arr, np.float32).tobytes()).decode()
+
+
+def _parse_features(payload: dict, target_dim: int) -> np.ndarray:
+    """Accept either nested lists or base64-packed float32 rows."""
+    if "features_b64" in payload:
+        flat = np.frombuffer(
+            base64.b64decode(payload["features_b64"]), np.float32)
+        return flat.reshape(-1, target_dim)
+    feats = np.asarray(payload["features"], np.float32)
+    if feats.ndim != 2 or feats.shape[1] != target_dim:
+        raise ValueError(
+            f"features must be (T, {target_dim}); got {feats.shape}")
+    return feats
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the server instance stores batcher/synth on the HTTPServer object
+    def _send(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *a):  # route through the project logger
+        logger.debug("http: " + fmt, *a)
+
+    def do_GET(self):
+        srv = self.server
+        if self.path == "/health":
+            self._send(200, {"status": "ok"})
+        elif self.path == "/info":
+            db = srv.synth.db
+            self._send(200, {
+                "n_units": int(db.n_units),
+                "sample_rate": int(db.sample_rate),
+                "target_dim": int(db.target_dim),
+                "target_representation": db.target_representation,
+                "voices": (list(db.voice_names)
+                           if getattr(db, "voice_names", None) else None),
+            })
+        elif self.path == "/stats":
+            self._send(200, dict(srv.batcher.stats))
+        else:
+            self._send(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        srv = self.server
+        if self.path != "/synth":
+            self._send(404, {"error": "unknown path"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            feats = _parse_features(payload, srv.synth.db.target_dim)
+        except Exception as e:  # noqa: BLE001 — malformed request
+            self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        try:
+            fut = srv.batcher.submit(feats, voice=payload.get("voice"),
+                                     greedy=payload.get("greedy", False))
+        except queue.Full:
+            self._send(503, {"error": "queue full"})
+            return
+        try:
+            res = fut.result(timeout=srv.request_timeout)
+        except Exception as e:  # noqa: BLE001 — synthesis failure
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._send(200, {
+            "wave_b64": _b64_f32(res["wave"]),
+            "n_samples": int(len(res["wave"])),
+            "sample_rate": int(srv.synth.db.sample_rate),
+            "unit_ids": np.asarray(res["unit_ids"]).tolist(),
+            "total_cost": float(res.get("total_cost", 0.0)),
+        })
+
+
+class SynthHTTPServer(ThreadingHTTPServer):
+    """HTTP front end owning one Synthesiser + its DynamicBatcher."""
+
+    daemon_threads = True
+
+    def __init__(self, synth, host: str = "127.0.0.1", port: int = 8300,
+                 max_batch: int = 32, max_wait_ms: float = 20.0,
+                 request_timeout: float = 300.0):
+        super().__init__((host, port), _Handler)
+        self.synth = synth
+        self.request_timeout = float(request_timeout)
+        self.batcher = DynamicBatcher(
+            synth, max_batch=max_batch, max_wait_ms=max_wait_ms).start()
+
+    def shutdown(self):
+        self.batcher.stop()
+        super().shutdown()
+
+
+def serve(config_path: str, host: str = "0.0.0.0", port: int = 8300,
+          max_batch: int = 32, max_wait_ms: float = 20.0):
+    """Load the voice, warm the compiled path, serve forever."""
+    from snickery_tpu.config import load_config
+    from snickery_tpu.synth import Synthesiser
+
+    cfg = load_config(config_path)
+    synth = Synthesiser(cfg)
+    # warm: compile the batched step on a dummy utterance so the first
+    # real request doesn't pay the (20-240 s) cold compile
+    dummy = np.zeros((min(64, cfg.length_buckets[0]), synth.db.target_dim),
+                     np.float32)
+    kw = ({"voices": [synth.db.voice_names[0]]}
+          if synth.is_multivoice else {})
+    synth.synth_batch([dummy], **kw)
+    httpd = SynthHTTPServer(synth, host=host, port=port,
+                            max_batch=max_batch, max_wait_ms=max_wait_ms)
+    logger.info("serving %s (%d units) on %s:%d",
+                cfg.voice_name, synth.db.n_units, host, port)
+    httpd.serve_forever()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8300)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    args = ap.parse_args(argv)
+    serve(args.config, args.host, args.port, args.max_batch, args.max_wait_ms)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -56,3 +56,21 @@ def test_validation():
         SnickeryConfig(multiepoch=0)
     with pytest.raises(ValueError):
         SnickeryConfig(target_stream_weights=[1.0, 2.0, 3.0])
+
+
+def test_snickery_platform_env_overrides_backend():
+    """SNICKERY_PLATFORM=cpu must beat a pre-set JAX_PLATFORMS (hosted
+    environments pre-import jax with their own platform; the package
+    applies the config-API override at import, before backend init)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "SNICKERY_PLATFORM": "cpu",
+           "JAX_PLATFORMS": "axon"}
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import snickery_tpu, jax; print(jax.devices()[0].platform)"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "cpu"

@@ -1,0 +1,144 @@
+"""Serving layer: dynamic batching + HTTP front end (snickery_tpu/server.py)."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from snickery_tpu.server import DynamicBatcher, SynthHTTPServer
+from snickery_tpu.synth import Synthesiser
+from tests.toyvoice import build_toy_voice, prepare_toy_utts
+
+
+@pytest.fixture(scope="module")
+def toy_synth():
+    cfg, db, utts = build_toy_voice(halfphone=False, multiepoch=1)
+    return Synthesiser(cfg, db=db), utts
+
+
+def _targets(synth, utts, n):
+    feats = []
+    for i in range(n):
+        f = utts[i % len(utts)].features
+        feats.append(np.asarray(f, np.float32))
+    return feats
+
+
+def test_batcher_coalesces_requests(toy_synth):
+    synth, utts = toy_synth
+    batcher = DynamicBatcher(synth, max_batch=8)
+    feats = _targets(synth, utts, 3)
+    futures = [batcher.submit(f) for f in feats]
+    batcher.run_pending_once()          # drain synchronously: ONE batch of 3
+    assert batcher.stats["batches"] == 1
+    assert batcher.stats["max_batch_seen"] == 3
+    direct = synth.synth_batch(feats)
+    for fut, ref in zip(futures, direct):
+        res = fut.result(timeout=0)
+        assert np.array_equal(res["unit_ids"], ref["unit_ids"])
+        assert np.allclose(res["wave"], ref["wave"])
+
+
+def test_batcher_splits_greedy_groups(toy_synth):
+    synth, utts = toy_synth
+    batcher = DynamicBatcher(synth, max_batch=8)
+    feats = _targets(synth, utts, 2)
+    f_vit = batcher.submit(feats[0], greedy=False)
+    f_greedy = batcher.submit(feats[1], greedy=True)
+    batcher.run_pending_once()
+    # different compiled programs -> two device steps from one drain
+    assert batcher.stats["batches"] == 2
+    assert f_vit.result(timeout=0)["n_units"] > 0
+    assert f_greedy.result(timeout=0)["n_units"] > 0
+
+
+def test_batcher_propagates_errors(toy_synth):
+    synth, utts = toy_synth
+    batcher = DynamicBatcher(synth, max_batch=8)
+    bad = np.zeros((4, 3), np.float32)      # wrong feature dim
+    fut = batcher.submit(bad)
+    batcher.run_pending_once()
+    assert batcher.stats["errors"] == 1
+    with pytest.raises(Exception):
+        fut.result(timeout=0)
+
+
+def test_http_server_end_to_end(toy_synth):
+    synth, utts = toy_synth
+    httpd = SynthHTTPServer(synth, host="127.0.0.1", port=0, max_wait_ms=50.0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        health = json.load(urllib.request.urlopen(base + "/health", timeout=30))
+        assert health["status"] == "ok"
+        info = json.load(urllib.request.urlopen(base + "/info", timeout=30))
+        assert info["n_units"] == synth.db.n_units
+        assert info["target_dim"] == synth.db.target_dim
+
+        f = _targets(synth, utts, 1)[0]
+        payload = json.dumps({
+            "features_b64": base64.b64encode(f.tobytes()).decode()}).encode()
+        req = urllib.request.Request(
+            base + "/synth", data=payload,
+            headers={"Content-Type": "application/json"})
+        out = json.load(urllib.request.urlopen(req, timeout=300))
+        wave = np.frombuffer(base64.b64decode(out["wave_b64"]), np.float32)
+        assert out["n_samples"] == len(wave) > 0
+        assert out["sample_rate"] == synth.db.sample_rate
+        ref = synth.synth_batch([f])[0]
+        assert np.array_equal(np.asarray(out["unit_ids"]), ref["unit_ids"])
+        assert np.allclose(wave, ref["wave"])
+
+        stats = json.load(urllib.request.urlopen(base + "/stats", timeout=30))
+        assert stats["requests"] >= 1
+
+        bad = urllib.request.Request(
+            base + "/synth", data=b'{"features": [[1, 2]]}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_concurrent_requests_share_steps(toy_synth):
+    synth, utts = toy_synth
+    httpd = SynthHTTPServer(synth, host="127.0.0.1", port=0,
+                            max_wait_ms=200.0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    feats = _targets(synth, utts, 4)
+    results = [None] * len(feats)
+
+    def post(i):
+        payload = json.dumps({"features": feats[i].tolist()}).encode()
+        req = urllib.request.Request(
+            base + "/synth", data=payload,
+            headers={"Content-Type": "application/json"})
+        results[i] = json.load(urllib.request.urlopen(req, timeout=300))
+
+    try:
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(feats))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert all(r is not None for r in results)
+        direct = synth.synth_batch(feats)
+        for r, ref in zip(results, direct):
+            assert np.array_equal(np.asarray(r["unit_ids"]), ref["unit_ids"])
+        # the 200 ms coalescing window should have batched at least one pair
+        stats = json.load(urllib.request.urlopen(base + "/stats", timeout=30))
+        assert stats["batched_requests"] == len(feats)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
