@@ -469,30 +469,37 @@ def run_epoch_mode(args, extra: dict):
 
     if cfg.preselect_precision != "highest":
         ref = sync(step(mm_precision="highest"))
-        mask = (np.arange(t_bucket)[None, :] < lengths[:, None])
-        ids_a = np.asarray(out[0])[mask]
-        ids_b = np.asarray(ref[0])[mask]
-        agree = float((ids_a == ids_b).mean())
-        # tie adjustment: mismatches among bit-identical units (equal feats
-        # AND join contexts) are interchangeable — gather-only reads, see
-        # agreement_metrics for why full-DB normalisation is off limits
-        m = ids_a != ids_b
-        uids = np.unique(np.concatenate([ids_a[m], ids_b[m]]))
-        fw = np.asarray(db.unit_features[uids])
-        jlw = np.asarray(db.join_left[uids])
-        jrw = np.asarray(db.join_right[uids])
-        pa = np.searchsorted(uids, ids_a[m])
-        pb = np.searchsorted(uids, ids_b[m])
-        eq = ((fw[pa] == fw[pb]).all(-1)
-              & (jlw[pa] == jlw[pb]).all(-1)
-              & (jrw[pa] == jrw[pb]).all(-1))
-        agree_adj = float(((~m).sum() + eq.sum()) / ids_a.size)
+        ids_a_all = np.asarray(out[0])
+        ids_b_all = np.asarray(ref[0])
+        # per-utterance agreement_metrics: tie-adjusted agreement (mismatches
+        # among bit-identical units are interchangeable) PLUS the f64
+        # path-cost gap of each decoded sequence pair — tie-adjusted < 1 can
+        # still mean equally-optimal paths (equal-cost near-duplicates that
+        # are not bit-identical); the cost gap is the rigorous check
+        raw_w = adj_w = n_tot = 0.0
+        worst_gap = 0.0
+        for b in range(ids_a_all.shape[0]):
+            n = int(lengths[b])
+            if n < 2:
+                continue
+            tw_b = (((tgts[b, :n] - db.mean_target) / db.std_target)
+                    * synth._sqrt_wt[None, :]).astype(np.float32)
+            r, a, g = agreement_metrics(
+                ids_a_all[b, :n], ids_b_all[b, :n], tw_b, db, synth, JCW)
+            raw_w += r * n
+            adj_w += a * n
+            n_tot += n
+            if abs(g) > abs(worst_gap):
+                worst_gap = g
+        agree = raw_w / max(n_tot, 1.0)
+        agree_adj = adj_w / max(n_tot, 1.0)
         log(f"config3 unit-sequence agreement "
             f"({cfg.preselect_precision} vs exact f32): raw {agree:.5f}, "
-            f"tie-adjusted {agree_adj:.5f}")
+            f"tie-adjusted {agree_adj:.5f}, worst per-utt f64 path-cost "
+            f"gap {worst_gap:+.2e} (negative = kernel path cheaper)")
         extra["config3"]["agreement_vs_f32"] = agree
         extra["config3"]["agreement_vs_f32_tie_adjusted"] = agree_adj
-        del fw, jlw, jrw
+        extra["config3"]["f32_gate_worst_cost_gap_rel"] = worst_gap
 
     # ---- at-scale float64-oracle agreement on held-out rows (VERDICT #1) ----
     if not args.skip_oracle:
@@ -560,17 +567,20 @@ def run_toy_mode(args, extra: dict):
     # objective quality vs the held-out ORIGINALS (targets not in the DB —
     # this measures generalisation, not corpus playback; the reference
     # validated quality by listening tests, SURVEY.md §4)
-    from snickery_tpu.evaluate import mel_cepstral_distortion
+    from snickery_tpu.evaluate import f0_metrics, mel_cepstral_distortion
     mcds = [mel_cepstral_distortion(r["wave"], w, SR)
             for r, w in zip(results, ref_waves)]
     mcd = float(np.nanmean(mcds))
+    pros = [f0_metrics(r["wave"], w, SR) for r, w in zip(results, ref_waves)]
+    ffe = float(np.nanmean([p["ffe"] for p in pros]))
+    f0_rmse = float(np.nanmean([p["f0_rmse_hz"] for p in pros]))
     # stash the per-utterance numbers: quality mode evaluates the SAME
     # held-out set on the SAME voice/config, so it can reuse this row
     # instead of re-synthesising (saves ~3 synths + MCDs in the driver run)
     flux_all = [_join_flux(synth, r) for r in results]
     _STATE["toy_quality_row"] = {
         "voice": "benchtoy", "n_units": db.n_units,
-        "held_out_mcd_db": mcd,
+        "held_out_mcd_db": mcd, "ffe": ffe, "f0_rmse_hz": f0_rmse,
         "join_flux_ratio": float(np.nanmean([f["ratio"] for f in flux_all]))}
     # scale anchor: a TRAINING utterance rides the natural zero-join path
     # and reconstructs the corpus nearly sample-exactly — its MCD is the
@@ -589,6 +599,7 @@ def run_toy_mode(args, extra: dict):
     extra["config1"] = {"latency_ms": lat, "n_units": db.n_units,
                         "audio_sec": audio_s, "held_out_mcd_db": mcd,
                         "natural_reconstruction_mcd_db": float(mcd_nat),
+                        "held_out_ffe": ffe, "held_out_f0_rmse_hz": f0_rmse,
                         "join_flux_ratio": flux["ratio"],
                         "n_nonnatural_joins": flux["n_joins"]}
 
@@ -689,7 +700,7 @@ def run_quality_mode(args, extra: dict, synth_1m=None):
     predicts MCD falling toward the natural-reconstruction floor as the
     DB grows.  Three voices: ~33k (benchtoy), ~130k (benchmid), 1.15M
     (reuses the config-#3 synthesiser when available)."""
-    from snickery_tpu.evaluate import mel_cepstral_distortion
+    from snickery_tpu.evaluate import f0_metrics, mel_cepstral_distortion
     from snickery_tpu.synth import Synthesiser
     from snickery_tpu.voicedb.build import build_voicedb
 
@@ -697,18 +708,21 @@ def run_quality_mode(args, extra: dict, synth_1m=None):
     trend = []
 
     def eval_voice(name, synth):
-        mcds, fluxes = [], []
+        mcds, fluxes, ffes = [], [], []
         for f, w in zip(feats, ref_waves):
             f = f[: 2 * synth.cfg.length_buckets[-1]]
             r = synth.synth_from_features(f)
             mcds.append(mel_cepstral_distortion(r["wave"], w, SR))
+            ffes.append(f0_metrics(r["wave"], w, SR)["ffe"])
             fluxes.append(_join_flux(synth, r)["ratio"])
         row = {"voice": name, "n_units": synth.db.n_units,
                "held_out_mcd_db": float(np.nanmean(mcds)),
+               "ffe": float(np.nanmean(ffes)),
                "join_flux_ratio": float(np.nanmean(fluxes))}
         trend.append(row)
         log(f"quality[{name}]: {row['n_units']} units, "
             f"MCD {row['held_out_mcd_db']:.2f} dB, "
+            f"FFE {row['ffe']:.3f}, "
             f"flux ratio {row['join_flux_ratio']:.2f}")
 
     if _STATE.get("toy_quality_row") is not None:
