@@ -202,6 +202,14 @@ def cmd_info(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from snickery_tpu.server import serve
+
+    serve(args.config, host=args.host, port=args.port,
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="snickery_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -234,6 +242,15 @@ def main(argv: list[str] | None = None) -> int:
     p_info = sub.add_parser("info", help="show voice/config info")
     _add_common(p_info)
     p_info.set_defaults(fn=cmd_info)
+
+    p_serve = sub.add_parser(
+        "serve", help="HTTP synthesis server with dynamic request batching")
+    _add_common(p_serve)
+    p_serve.add_argument("--host", default="0.0.0.0")
+    p_serve.add_argument("--port", type=int, default=8300)
+    p_serve.add_argument("--max-batch", type=int, default=32)
+    p_serve.add_argument("--max-wait-ms", type=float, default=20.0)
+    p_serve.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     utils.enable_compilation_cache()

@@ -320,3 +320,22 @@ def test_cli_batched_synthesis(corpus, tmp_path):
     assert cli_main(["synth", "-c", str(cfg_path), "-o", str(out)]) == 0
     assert sorted(p.name for p in out.iterdir() if p.suffix == ".wav") == [
         "utt00.wav", "utt01.wav", "utt02.wav"]
+
+
+def test_cli_serve_dispatch(monkeypatch):
+    """`snickery_tpu serve` forwards config + server options to server.serve."""
+    import snickery_tpu.server as server_mod
+    from snickery_tpu.cli import main as cli_main
+
+    calls = {}
+
+    def fake_serve(config_path, host, port, max_batch, max_wait_ms):
+        calls.update(config=config_path, host=host, port=port,
+                     max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    monkeypatch.setattr(server_mod, "serve", fake_serve)
+    assert cli_main(["serve", "-c", "voice.json", "--host", "127.0.0.1",
+                     "--port", "8399", "--max-batch", "4",
+                     "--max-wait-ms", "5"]) == 0
+    assert calls == {"config": "voice.json", "host": "127.0.0.1",
+                     "port": 8399, "max_batch": 4, "max_wait_ms": 5.0}
