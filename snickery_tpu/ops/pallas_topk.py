@@ -187,6 +187,100 @@ def _compute_scores(mm_precision, has_part, has_ling, ling_weights, mask_col,
     return s
 
 
+def _to_key(s):
+    """Order-preserving f32 -> int32 key (total order, +/-inf included):
+    non-negative bit patterns map to themselves, negative ones flip all
+    magnitude bits (two's-complement trick), so integer < matches f32 <."""
+    u = jax.lax.bitcast_convert_type(s, jnp.int32)
+    return jnp.where(u < 0, u ^ jnp.int32(0x7FFFFFFF), u)
+
+
+def _from_key(key):
+    """Inverse of :func:`_to_key` for PACKED keys (low bits carry a row
+    index): finite packed keys stay below the +inf bit pattern, so clamping
+    at it restores exact +inf for never-filled / partition-masked slots."""
+    key = jnp.minimum(key, jnp.int32(0x7F800000))
+    u = jnp.where(key < 0, key ^ jnp.int32(0x7FFFFFFF), key)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _packed_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
+    """Packed-key selection over one folded score chunk (``select="packed"``).
+
+    ``fold`` is (NB, BLOCK, T) of int32 PACKED keys: an order-preserving
+    int transform of the f32 score whose low log2(BLOCK) bits are replaced
+    by the row-in-block index.  The per-block min of packed keys therefore
+    yields the block's (min value, first argmin row) JOINTLY, so a pick
+    needs no full-fold gather of the chosen block — the dominant cost of
+    the "stream" design (one (NB, BLOCK, T) pass per pick iteration).
+
+    Picks run on (NB, T)-sized state only, retiring a picked (block, col)
+    optimistically; one exact refresh pass per ROUND recomputes every
+    block's min above its extraction threshold (packed keys are unique
+    within a block, so "strictly greater than the last extracted key" is
+    an exact mask).  The round loop repeats until no remaining element
+    beats the worst kept — the same exact-termination contract as
+    "stream", now in packed order.  Packing perturbs scores by <= BLOCK-1
+    ulp (~1.5e-5 relative at BLOCK=128), absorbed by the standard rank
+    margin + exact-f32 rescoring, same as the bf16-split matmul noise.
+
+    Measured (real 1.148M-unit voice, 65k rows, split3cat): 642 -> ~470 ms
+    — the expected ~2 full passes per grid step (score epilogue + initial
+    block-min fold) plus ~1.3 refresh rounds vs stream's ~5-7.
+    """
+    imax = jnp.int32(0x7FFFFFFF)
+    iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
+    iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, t_tile), 0)
+    bm0 = jnp.min(fold, axis=1)                                # (NB, T) packed
+    thr0 = jnp.full((nb, t_tile), jnp.int32(-0x80000000))      # nothing gone
+
+    def round_cond(st):
+        rounds, bm, thr, sv, sc = st
+        worst = jnp.max(sv, axis=0)                            # (T,) packed
+        return jnp.logical_and(
+            rounds < k, jnp.any(jnp.min(bm, axis=0) < worst))
+
+    def round_body(st):
+        rounds, bm, thr, sv, sc = st
+
+        def pick_cond(pst):
+            it, bm, thr, sv, sc = pst
+            worst = jnp.max(sv, axis=0)
+            return jnp.logical_and(
+                it < k, jnp.any(jnp.min(bm, axis=0) < worst))
+
+        def pick_body(pst):
+            it, bm, thr, sv, sc = pst
+            m, b = _first_argmin_cols(bm, iota0_nb, nb)        # (T,), (T,)
+            onehot = iota0_nb == b[None, :]                    # (NB, T)
+            mi = m & jnp.int32(block - 1)                      # row from low bits
+            col = b * block + mi + base_col
+            worst = jnp.max(sv, axis=0)
+            wslot = jnp.min(jnp.where(sv == worst[None, :], iota_k0, k),
+                            axis=0)                            # (T,)
+            better = m < worst
+            put = (iota_k0 == wslot[None, :]) & better[None, :]
+            sv = jnp.where(put, m[None, :], sv)
+            sc = jnp.where(put, col[None, :], sc)
+            # optimistic retire: block b yields nothing more for this
+            # column until the round's refresh recomputes its true next min
+            upd = onehot & better[None, :]
+            bm = jnp.where(upd, imax, bm)
+            thr = jnp.where(upd, m[None, :], thr)
+            return (it + 1, bm, thr, sv, sc)
+
+        _, bm, thr, sv, sc = jax.lax.while_loop(
+            pick_cond, pick_body, (jnp.int32(0), bm, thr, sv, sc))
+        # exact refresh — THE full-fold pass of this round: per-block min of
+        # elements strictly above the block's extraction threshold
+        bm = jnp.min(jnp.where(fold > thr[:, None, :], fold, imax), axis=1)
+        return (rounds + 1, bm, thr, sv, sc)
+
+    _, _, _, res_v, res_c = jax.lax.while_loop(
+        round_cond, round_body, (jnp.int32(0), bm0, thr0, sv0, sc0))
+    return res_v, res_c
+
+
 def _stream_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
     """Streaming-pick exact selection over one folded score chunk (see the
     module docstring).  Returns the updated (k, t_tile) state."""
@@ -271,14 +365,40 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 
     @pl.when(j == 0)
     def _():
-        state_vals[:, sl] = jnp.full((k, t_tile), jnp.inf, jnp.float32)
+        if select == "packed":
+            # packed mode keeps the running state as int32 sortable keys
+            state_vals[:, sl] = jnp.full((k, t_tile), jnp.int32(0x7FFFFFFF),
+                                         jnp.int32)
+        else:
+            state_vals[:, sl] = jnp.full((k, t_tile), jnp.inf, jnp.float32)
         state_cols[:, sl] = jnp.zeros((k, t_tile), jnp.int32)
 
     s = _compute_scores(mm_precision, has_part, has_ling, ling_weights,
                         mask_col, tgt_ref, db_ref, sqn_ref,
                         tpart_ref, dpart_ref, tling_ref, dling_ref)
-    folded = s.reshape(nb, block, t_tile)              # free leading-dim split
     base_col = j * chunk
+
+    if select == "packed":
+        # sortable-int key with the row-in-block index in the low bits —
+        # fused into the score epilogue pass (see _packed_select)
+        key = _to_key(s)
+        rowbits = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   & jnp.int32(block - 1))
+        packed = (key & jnp.int32(~(block - 1))) | rowbits
+        folded = packed.reshape(nb, block, t_tile)
+        res_v, res_c = _packed_select(
+            folded, state_vals[:, sl], state_cols[:, sl], base_col,
+            k, nb, block, t_tile)
+        state_vals[:, sl] = res_v
+        state_cols[:, sl] = res_c
+
+        @pl.when(j == n_chunks - 1)
+        def _():
+            out_vals_ref[:] = _from_key(state_vals[:, sl])
+            out_cols_ref[:] = state_cols[:, sl]
+        return
+
+    folded = s.reshape(nb, block, t_tile)              # free leading-dim split
 
     if select == "stream":
         # Streaming-pick selection (see module docstring and _stream_select).
@@ -395,8 +515,15 @@ def pallas_topk_preselect(
     select: str = "stream",          # selection loop: "stream" (single exact
                                      # pick loop, one constant full-fold pass
                                      # per chunk — measured 1.15-1.2x faster
-                                     # than "phase" on real data) | "phase"
-                                     # (per-phase bai/mask/remaining passes)
+                                     # than "phase" on real data) | "packed"
+                                     # (sortable-int keys with the row index
+                                     # packed into the low score bits; picks
+                                     # need no per-pick full-fold gather —
+                                     # fastest, but ranks in packed order:
+                                     # <= BLOCK-1 ulp score perturbation,
+                                     # needs the standard rank margin — see
+                                     # _packed_select) | "phase" (per-phase
+                                     # bai/mask/remaining passes)
     db_affine: tuple | None = None,  # (mean (d,), std (d,), sqrt_w (d,),
                                      # n_real scalar): ``db`` holds RAW rows
                                      # (voicedb.device_layout) — normalise +
@@ -553,8 +680,12 @@ def pallas_topk_preselect(
                                has_part, has_ling, ling_weights, mask_col,
                                t_tile, chunk, block, db_major, select)
     grid = ((n_chunks, n_tiles) if db_major else (n_tiles, n_chunks))
+    if select == "packed":
+        assert block & (block - 1) == 0, (
+            f"packed select needs a power-of-two block, got {block}")
     scratch_shapes = [
-        pltpu.VMEM((k, T if db_major else t_tile), jnp.float32),
+        pltpu.VMEM((k, T if db_major else t_tile),
+                   jnp.int32 if select == "packed" else jnp.float32),
         pltpu.VMEM((k, T if db_major else t_tile), jnp.int32),
     ]
 

@@ -293,3 +293,117 @@ def test_pallas_zero_transient_fused_masks():
     assert (db_part[idx][live] == np.broadcast_to(
         tgt_part[:, None], idx.shape)[live]).all()
     assert (idx[live] < m).all()
+
+
+def test_pallas_packed_select_margin_coverage():
+    """select="packed" (sortable-int keys, row index in the low score bits)
+    ranks in PACKED order — a <= BLOCK-1 ulp (~1.5e-5 relative) score
+    perturbation — so its contract is the one the pipeline consumes: the
+    oracle's exact top-k is COVERED by the packed top-(k + margin), and the
+    returned (unpacked) scores match true distances to well below the
+    margin the rescoring absorbs.  Negative scores included (targets offset
+    so the -2 t.u cross term dominates) — exercises the negative branch of
+    the key transform."""
+    from snickery_tpu.const import PRESELECT_MARGIN
+    rng = np.random.default_rng(61)
+    T, M, d, k = T_TILE, 3 * CHUNK, 48, 30
+    targets = (rng.standard_normal((T, d)) + 2.0).astype(np.float32)
+    db = (rng.standard_normal((M, d)) + 2.0).astype(np.float32)
+    idx, vals = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k + PRESELECT_MARGIN,
+        interpret=True, select="packed")
+    vals = np.asarray(vals)
+    idx = np.asarray(idx)
+    assert (vals < 0).any(), "test should exercise negative scores"
+    ref_idx, ref_sq = oracle.preselect(targets, db, k)
+    covered = np.mean([
+        len(np.intersect1d(idx[t], ref_idx[t])) / k for t in range(T)])
+    assert covered == 1.0, f"exact top-{k} coverage {covered:.5f}"
+    # unpacked scores = true squared distances (minus ||t||^2) to packing
+    # precision: recompute exactly in f64 at the selected indices
+    true_sq = ((db[idx].astype(np.float64)
+                - targets[:, None, :].astype(np.float64)) ** 2).sum(-1)
+    got_sq = (vals.astype(np.float64)
+              + (targets.astype(np.float64) ** 2).sum(-1, keepdims=True))
+    np.testing.assert_allclose(got_sq, true_sq, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_packed_select_one_block_pileup():
+    """Worst case for the packed round loop: the entire top-k sits inside a
+    single 128-row block of a single chunk, so every round's refresh
+    reveals exactly one further element (k rounds).  The candidate set must
+    still be exact."""
+    rng = np.random.default_rng(62)
+    T, M, d, k = T_TILE, 2 * CHUNK, 16, 12
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32) + 40.0
+    # rows 256..267 are near-exact hits for every target (tiny jitter keeps
+    # scores distinct, so ranking is unambiguous)
+    base = rng.standard_normal(d).astype(np.float32)
+    for i in range(k):
+        db[256 + i] = base + 1e-3 * i
+    targets[:] = base + 1e-4 * rng.standard_normal((T, d)).astype(np.float32)
+    idx, vals = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        select="packed")
+    idx = np.sort(np.asarray(idx), axis=-1)
+    np.testing.assert_array_equal(
+        idx, np.tile(np.arange(256, 256 + k), (T, 1)))
+
+
+def test_pallas_packed_select_matches_stream():
+    """packed and stream selections agree: same candidate sets and (away
+    from packing-level ties) the same scores, under split3cat + partition
+    masks (inf scores ride the int key domain and unpack to exact inf in
+    starved slots)."""
+    rng = np.random.default_rng(63)
+    T, M, d, k = T_TILE, 2 * CHUNK, 151, 20
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    tgt_part = rng.integers(0, 4, T).astype(np.int32)
+    db_part = rng.integers(0, 4, M).astype(np.int32)
+    # one starved partition id with < k members
+    tgt_part[:8] = 9
+    db_part[:5] = 9
+    part = (jnp.asarray(tgt_part), jnp.asarray(db_part))
+    i_s, v_s = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        mm_precision="split3cat", partition=part, select="stream")
+    i_p, v_p = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        mm_precision="split3cat", partition=part, select="packed")
+    i_s, i_p = np.asarray(i_s), np.asarray(i_p)
+    v_s, v_p = np.asarray(v_s), np.asarray(v_p)
+    # starved rows: exactly the 5 members selected, the rest inf in BOTH
+    assert np.isinf(v_s[:8, 5:]).all() and np.isinf(v_p[:8, 5:]).all()
+    np.testing.assert_array_equal(np.sort(i_s[:8, :5]), np.sort(i_p[:8, :5]))
+    # both rank the SAME split3cat scores; they may differ only at
+    # packing-level near-ties (<= BLOCK-1 ulp).  High-dim iid gaussians
+    # concentrate distances, so the rank-k gap is often inside that band —
+    # require high overlap and that every set difference is a near-tie.
+    overlap = np.mean([
+        len(np.intersect1d(i_s[t], i_p[t])) / k for t in range(T)])
+    assert overlap > 0.95, f"candidate-set overlap {overlap:.4f}"
+    kth = np.sort(v_s, axis=-1)[:, -1]
+    for t in range(T):
+        only_p = np.setdiff1d(i_p[t], i_s[t])
+        if len(only_p):
+            vp = v_p[t][np.isin(i_p[t], only_p)]
+            np.testing.assert_allclose(vp, kth[t] * np.ones_like(vp),
+                                       rtol=5e-4, atol=5e-4)
+    same = i_s == i_p
+    np.testing.assert_allclose(v_s[same], v_p[same], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_packed_select_grid_order_invariant():
+    """packed selection is identical across db-major / tile-major grids."""
+    rng = np.random.default_rng(64)
+    T, M, d, k = 2 * T_TILE, 2 * CHUNK, 24, 10
+    targets = jnp.asarray(rng.standard_normal((T, d)).astype(np.float32))
+    db = jnp.asarray(rng.standard_normal((M, d)).astype(np.float32))
+    i1, v1 = pallas_topk_preselect(targets, db, k=k, interpret=True,
+                                   select="packed", db_major=True)
+    i2, v2 = pallas_topk_preselect(targets, db, k=k, interpret=True,
+                                   select="packed", db_major=False)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
