@@ -70,7 +70,8 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, default=30)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--precision", default="split3cat")
-    ap.add_argument("--select", default="stream")
+    ap.add_argument("--select", default="auto",
+                    help="kernel selection loop (matches the kernel default)")
     ap.add_argument("--combos", default="",
                     help="space list of t,chunk,block[,precision[,select]]")
     ap.add_argument("--real", action="store_true",

@@ -223,10 +223,13 @@ def _packed_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
     "stream", now in packed order.  Packing perturbs scores by <= BLOCK-1
     ulp (~1.5e-5 relative at BLOCK=128), absorbed by the standard rank
     margin + exact-f32 rescoring, same as the bf16-split matmul noise.
+    Exact-f32 value ties still resolve to the LOWEST unit id (row bits
+    order in-block ties, first-argmin orders blocks, strictly-better
+    replacement keeps the earliest chunk), matching the oracle convention.
 
-    Measured (real 1.148M-unit voice, 65k rows, split3cat): 642 -> ~470 ms
-    — the expected ~2 full passes per grid step (score epilogue + initial
-    block-min fold) plus ~1.3 refresh rounds vs stream's ~5-7.
+    Cost model: ~2 full (NB, BLOCK, T) passes per grid step (score
+    epilogue + initial block-min fold) plus one refresh pass per round,
+    vs "stream"'s 2 + one per pick iteration.
     """
     imax = jnp.int32(0x7FFFFFFF)
     iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
@@ -512,18 +515,24 @@ def pallas_topk_preselect(
                                      # streams from HBM once; per-tile states
                                      # in one VMEM scratch).  None = auto
                                      # (on unless the state would not fit)
-    select: str = "stream",          # selection loop: "stream" (single exact
-                                     # pick loop, one constant full-fold pass
-                                     # per chunk — measured 1.15-1.2x faster
-                                     # than "phase" on real data) | "packed"
-                                     # (sortable-int keys with the row index
-                                     # packed into the low score bits; picks
-                                     # need no per-pick full-fold gather —
-                                     # fastest, but ranks in packed order:
-                                     # <= BLOCK-1 ulp score perturbation,
-                                     # needs the standard rank margin — see
-                                     # _packed_select) | "phase" (per-phase
-                                     # bai/mask/remaining passes)
+    select: str = "auto",            # selection loop: "packed" (sortable-int
+                                     # keys with the row index packed into
+                                     # the low score bits; picks need no
+                                     # per-pick full-fold gather — fastest,
+                                     # but ranks in packed order: <= BLOCK-1
+                                     # ulp score perturbation, requires the
+                                     # standard rank margin — see
+                                     # _packed_select) | "stream" (single
+                                     # EXACT pick loop, one constant
+                                     # full-fold pass per chunk + one per
+                                     # pick) | "phase" (per-phase bai/mask/
+                                     # remaining passes; comparison baseline)
+                                     # | "auto": "packed" exactly when the
+                                     # mode already carries a rank margin
+                                     # (approximate precisions / zero-
+                                     # transient — the same condition as
+                                     # ops.topk.preselect_margin), "stream"
+                                     # for the margin-less exact path
     db_affine: tuple | None = None,  # (mean (d,), std (d,), sqrt_w (d,),
                                      # n_real scalar): ``db`` holds RAW rows
                                      # (voicedb.device_layout) — normalise +
@@ -558,6 +567,13 @@ def pallas_topk_preselect(
     every remaining element; the iteration bound guarantees enough phases to
     extract k elements even in the degenerate all-in-one-block case.
     """
+    if select == "auto":
+        # packed ranks with a <= BLOCK-1 ulp score perturbation, so it is
+        # only eligible where the pipeline already reserves rank-margin
+        # slots + exact-f32 rescoring (ops.topk.preselect_margin's exact
+        # condition); the margin-less exact path keeps the exact stream loop
+        select = ("packed" if (mm_precision != "highest" or zero_transient)
+                  else "stream")
     T_rows = targets.shape[0]
     if t_tile is None:
         # larger tiles amortise per-grid-step overhead (scalar loop entry,
