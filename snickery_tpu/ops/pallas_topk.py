@@ -284,6 +284,92 @@ def _packed_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
     return res_v, res_c
 
 
+def _packed3_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
+    """Three-level packed-key selection (``select="packed3"``) — the fast
+    path of the exact fallback pair (see the wrapper).
+
+    Measured motivation (real 1.148M-unit voice, 20480 target rows, k=40,
+    split3cat, clean one-compile-per-variant timings): FIXED full-fold
+    passes are free — they overlap the MXU pipeline (production kernel
+    with selection stripped to a block-min: 136 ms; adding the packing
+    ops and two more block-min levels: 138 ms) — but ANY full-fold work
+    tied to the data-dependent pick loop serialises against it:
+    "stream"'s per-pick (NB, BLOCK, T) gather costs +63 ms (199 ms), and
+    even an almost-never-executed in-loop refresh that merely CAPTURES
+    the fold costs +40 ms by extending its liveness across the loop
+    ("packed2" experiment: 190 ms).  A pick loop whose iterations touch
+    only (NB, T) state adds just +13 ms (150 ms total).
+
+    packed3 therefore precomputes per-block FIRST, SECOND and THIRD
+    minima as fixed passes and lets the pick loop consume up to three
+    elements per (block, column) per chunk with NO reference to the fold
+    after setup.  A column that would need a FOURTH element from the same
+    block of the same chunk — and whose extraction threshold still beats
+    its worst kept value at chunk end — raises a per-column OVERFLOW flag
+    instead.  The wrapper reruns the exact "stream" kernel under
+    ``lax.cond`` iff any column overflowed, so the returned top-k is
+    EXACT unconditionally; the flag merely decides which kernel's answer
+    is used.  (Per-column pick order is globally increasing, so at most k
+    useful extractions happen per column per chunk and the ``it < k``
+    bound is exact, not a heuristic.)
+
+    Packed-key order: <= BLOCK-1 ulp score perturbation, absorbed by the
+    standard rank margin + exact-f32 rescoring; exact-f32 value ties
+    still resolve to the lowest unit id (see _packed_select).
+
+    Returns (state_vals, state_cols, overflow_row (t_tile,) int32).
+    """
+    imax = jnp.int32(0x7FFFFFFF)
+    iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
+    iota_k0 = jax.lax.broadcasted_iota(jnp.int32, (k, t_tile), 0)
+    bm1 = jnp.min(fold, axis=1)                                # (NB, T) packed
+    bm2 = jnp.min(jnp.where(fold > bm1[:, None, :], fold, imax), axis=1)
+    bm3 = jnp.min(jnp.where(fold > bm2[:, None, :], fold, imax), axis=1)
+    thr0 = jnp.full((nb, t_tile), jnp.int32(-0x80000000))
+    pend0 = jnp.zeros((nb, t_tile), jnp.int32)   # 0/1 (bool folds are a
+                                                 # Mosaic pathology)
+
+    def pick_cond(pst):
+        it, cur, n2, n3, thr, pend, sv, sc = pst
+        worst = jnp.max(sv, axis=0)
+        return jnp.logical_and(
+            it < k, jnp.any(jnp.min(cur, axis=0) < worst))
+
+    def pick_body(pst):
+        it, cur, n2, n3, thr, pend, sv, sc = pst
+        m, b = _first_argmin_cols(cur, iota0_nb, nb)           # (T,), (T,)
+        onehot = iota0_nb == b[None, :]                        # (NB, T)
+        mi = m & jnp.int32(block - 1)
+        col = b * block + mi + base_col
+        worst = jnp.max(sv, axis=0)
+        wslot = jnp.min(jnp.where(sv == worst[None, :], iota_k0, k), axis=0)
+        better = m < worst
+        put = (iota_k0 == wslot[None, :]) & better[None, :]
+        sv = jnp.where(put, m[None, :], sv)
+        sc = jnp.where(put, col[None, :], sc)
+        upd = onehot & better[None, :]
+        # promote the precomputed chain: cur <- n2 <- n3 <- empty; consuming
+        # an empty successor marks the block pending (4th element unknown)
+        has2 = n2 < imax
+        cur = jnp.where(upd, jnp.where(has2, n2, imax), cur)
+        pend = jnp.maximum(pend, (upd & ~has2).astype(jnp.int32))
+        n2 = jnp.where(upd, n3, n2)
+        n3 = jnp.where(upd, imax, n3)
+        thr = jnp.where(upd, m[None, :], thr)
+        return (it + 1, cur, n2, n3, thr, pend, sv, sc)
+
+    _, _, _, _, thr, pend, res_v, res_c = jax.lax.while_loop(
+        pick_cond, pick_body,
+        (jnp.int32(0), bm1, bm2, bm3, thr0, pend0, sv0, sc0))
+    # conservative exactness test: a pending block matters only if its
+    # extraction threshold (a strict lower bound on its unseen elements)
+    # still beats the column's worst kept value — `worst` only shrinks in
+    # later chunks, so clearing thr >= worst here stays safe forever
+    worst = jnp.max(res_v, axis=0)
+    ovf = jnp.max(pend * (thr < worst[None, :]).astype(jnp.int32), axis=0)
+    return res_v, res_c, ovf
+
+
 def _stream_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
     """Streaming-pick exact selection over one folded score chunk (see the
     module docstring).  Returns the updated (k, t_tile) state."""
@@ -354,7 +440,11 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
     if has_ling:
         tling_ref, dling_ref = refs[:2]
         refs = refs[2:]
-    out_vals_ref, out_cols_ref, state_vals, state_cols = refs
+    if select == "packed3":
+        (out_vals_ref, out_cols_ref, out_ovf_ref,
+         state_vals, state_cols, state_ovf) = refs
+    else:
+        out_vals_ref, out_cols_ref, state_vals, state_cols = refs
     if db_major:
         # grid (n_chunks, n_tiles): the DB streams from HBM exactly ONCE
         # (670 MB at the 1M-unit bench vs once per tile = 43 GB); per-tile
@@ -368,8 +458,8 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
 
     @pl.when(j == 0)
     def _():
-        if select == "packed":
-            # packed mode keeps the running state as int32 sortable keys
+        if select in ("packed", "packed3"):
+            # packed modes keep the running state as int32 sortable keys
             state_vals[:, sl] = jnp.full((k, t_tile), jnp.int32(0x7FFFFFFF),
                                          jnp.int32)
         else:
@@ -381,7 +471,7 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
                         tpart_ref, dpart_ref, tling_ref, dling_ref)
     base_col = j * chunk
 
-    if select == "packed":
+    if select in ("packed", "packed3"):
         # sortable-int key with the row-in-block index in the low bits —
         # fused into the score epilogue pass (see _packed_select)
         key = _to_key(s)
@@ -389,9 +479,18 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
                    & jnp.int32(block - 1))
         packed = (key & jnp.int32(~(block - 1))) | rowbits
         folded = packed.reshape(nb, block, t_tile)
-        res_v, res_c = _packed_select(
-            folded, state_vals[:, sl], state_cols[:, sl], base_col,
-            k, nb, block, t_tile)
+        if select == "packed3":
+            @pl.when(j == 0)
+            def _():
+                state_ovf[:, sl] = jnp.zeros((8, t_tile), jnp.int32)
+            res_v, res_c, ovf = _packed3_select(
+                folded, state_vals[:, sl], state_cols[:, sl], base_col,
+                k, nb, block, t_tile)
+            state_ovf[:, sl] = jnp.maximum(state_ovf[:, sl], ovf[None, :])
+        else:
+            res_v, res_c = _packed_select(
+                folded, state_vals[:, sl], state_cols[:, sl], base_col,
+                k, nb, block, t_tile)
         state_vals[:, sl] = res_v
         state_cols[:, sl] = res_c
 
@@ -399,6 +498,8 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
         def _():
             out_vals_ref[:] = _from_key(state_vals[:, sl])
             out_cols_ref[:] = state_cols[:, sl]
+            if select == "packed3":
+                out_ovf_ref[:] = state_ovf[:, sl]
         return
 
     folded = s.reshape(nb, block, t_tile)              # free leading-dim split
@@ -568,12 +669,12 @@ def pallas_topk_preselect(
     extract k elements even in the degenerate all-in-one-block case.
     """
     if select == "auto":
-        # packed ranks with a <= BLOCK-1 ulp score perturbation, so it is
-        # only eligible where the pipeline already reserves rank-margin
-        # slots + exact-f32 rescoring (ops.topk.preselect_margin's exact
-        # condition); the margin-less exact path keeps the exact stream loop
-        select = ("packed" if (mm_precision != "highest" or zero_transient)
-                  else "stream")
+        # "stream" everywhere: the packed variants were measured SLOWER on
+        # real voices (see ROADMAP.md "Measured dead ends" — the fat tail
+        # of same-block near-duplicate runs defeats per-block-level
+        # extraction, and any full-fold work tied to the pick loop breaks
+        # Mosaic's MXU pipelining).  They remain selectable for sweeps.
+        select = "stream"
     T_rows = targets.shape[0]
     if t_tile is None:
         # larger tiles amortise per-grid-step overhead (scalar loop entry,
@@ -692,36 +793,63 @@ def pallas_topk_preselect(
         ci = lambda i, j: j
     in_specs = make_specs(ti, ci)
     out_map = lambda i, j: (0, ti(i, j))
-    kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
-                               has_part, has_ling, ling_weights, mask_col,
-                               t_tile, chunk, block, db_major, select)
     grid = ((n_chunks, n_tiles) if db_major else (n_tiles, n_chunks))
-    if select == "packed":
+    if select in ("packed", "packed3"):
         assert block & (block - 1) == 0, (
             f"packed select needs a power-of-two block, got {block}")
-    scratch_shapes = [
-        pltpu.VMEM((k, T if db_major else t_tile),
-                   jnp.int32 if select == "packed" else jnp.float32),
-        pltpu.VMEM((k, T if db_major else t_tile), jnp.int32),
-    ]
 
-    vals, cols = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=(
+    def launch(sel):
+        """One pallas_call at the chosen selection mode (shared operands)."""
+        kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
+                                   has_part, has_ling, ling_weights, mask_col,
+                                   t_tile, chunk, block, db_major, sel)
+        packed_state = sel in ("packed", "packed3")
+        scratch_shapes = [
+            pltpu.VMEM((k, T if db_major else t_tile),
+                       jnp.int32 if packed_state else jnp.float32),
+            pltpu.VMEM((k, T if db_major else t_tile), jnp.int32),
+        ]
+        out_specs = [
             pl.BlockSpec((k, t_tile), out_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, t_tile), out_map, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((k, T), jnp.float32),
             jax.ShapeDtypeStruct((k, T), jnp.int32),
-        ),
-        scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(*operands)
+        ]
+        if sel == "packed3":
+            # per-column overflow flags (row 0 meaningful; 8 rows for tiling)
+            out_specs.append(pl.BlockSpec((8, t_tile), out_map,
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((8, T), jnp.int32))
+            scratch_shapes.append(
+                pltpu.VMEM((8, T if db_major else t_tile), jnp.int32))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(*operands)
+
+    if select == "packed3":
+        # fast path + exact fallback: the packed3 kernel precomputes three
+        # score levels per block and flags any column that would need a
+        # fourth same-block element in one chunk; iff any column overflowed
+        # (rare — runs of 4+ near-duplicate epochs inside one 128-row block
+        # competing for one target), rerun the exact stream kernel.  The
+        # returned top-k is exact either way.
+        vals, cols, ovf = launch("packed3")
+        vals, cols = jax.lax.cond(
+            jnp.any(ovf[0] > 0),
+            lambda: launch("stream"),
+            lambda: (vals, cols))
+    else:
+        vals, cols = launch(select)
     # the kernel keeps its state unsorted; order ascending by (value, col)
     # here — lexsort matches the oracle's stable-by-index tie-breaking.
     # Callers that treat the k candidates as a SET (the Viterbi pipeline)

@@ -407,3 +407,72 @@ def test_pallas_packed_select_grid_order_invariant():
                                    select="packed", db_major=False)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_pallas_packed3_margin_coverage_and_fallback():
+    """select="packed3" (three precomputed block levels + overflow
+    fallback): exact top-k coverage within the rank margin on ordinary
+    data, and EXACT results when a pileup forces the overflow fallback
+    (many near-duplicate rows in one 128-row block)."""
+    from snickery_tpu.const import PRESELECT_MARGIN
+    rng = np.random.default_rng(66)
+    T, M, d, k = T_TILE, 2 * CHUNK, 48, 30
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    idx, vals = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k + PRESELECT_MARGIN,
+        interpret=True, select="packed3")
+    idx = np.asarray(idx)
+    ref_idx, _ = oracle.preselect(targets, db, k)
+    covered = np.mean([
+        len(np.intersect1d(idx[t], ref_idx[t])) / k for t in range(T)])
+    assert covered == 1.0, f"exact top-{k} coverage {covered:.5f}"
+    # pileup: a run of near-duplicates longer than the 3 precomputed
+    # levels inside one block -> overflow -> stream fallback, exact result
+    base = rng.standard_normal(d).astype(np.float32)
+    for i in range(10):
+        db[512 + i] = base + 1e-3 * i
+    targets[:16] = base + 1e-4
+    i_s, _ = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=8, interpret=True,
+        select="stream")
+    i_p, _ = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=8, interpret=True,
+        select="packed3")
+    np.testing.assert_array_equal(np.sort(np.asarray(i_p)[:16]),
+                                  np.sort(np.asarray(i_s)[:16]))
+
+
+def test_pallas_packed3_grid_order_invariant():
+    rng = np.random.default_rng(67)
+    T, M, d, k = 2 * T_TILE, 2 * CHUNK, 24, 10
+    targets = jnp.asarray(rng.standard_normal((T, d)).astype(np.float32))
+    db = jnp.asarray(rng.standard_normal((M, d)).astype(np.float32))
+    i1, v1 = pallas_topk_preselect(targets, db, k=k, interpret=True,
+                                   select="packed3", db_major=True)
+    i2, v2 = pallas_topk_preselect(targets, db, k=k, interpret=True,
+                                   select="packed3", db_major=False)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_pallas_packed3_partition_starved():
+    """Partition masks ride the int key domain in packed3 too: starved
+    rows keep inf sentinels and never trigger a bogus overflow rerun."""
+    rng = np.random.default_rng(68)
+    T, M, d, k = T_TILE, 2 * CHUNK, 32, 12
+    targets = rng.standard_normal((T, d)).astype(np.float32)
+    db = rng.standard_normal((M, d)).astype(np.float32)
+    tgt_part = rng.integers(0, 3, T).astype(np.int32)
+    db_part = rng.integers(0, 3, M).astype(np.int32)
+    tgt_part[:4] = 9
+    db_part[:3] = 9
+    part = (jnp.asarray(tgt_part), jnp.asarray(db_part))
+    i_p, v_p = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(db), k=k, interpret=True,
+        partition=part, select="packed3")
+    i_p, v_p = np.asarray(i_p), np.asarray(v_p)
+    finite = np.isfinite(v_p)
+    assert np.isinf(v_p[:4][:, 3:]).all() or (np.isfinite(v_p[:4]).sum(1) <= 3).all()
+    assert (db_part[i_p[finite]] == np.broadcast_to(
+        tgt_part[:, None], i_p.shape)[finite]).all()
