@@ -80,6 +80,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cluster", action="store_true",
                     help="with --real: reorder DB rows by k-means cluster "
                          "(locality lever for the pick loop)")
+    ap.add_argument("--scatter", action="store_true",
+                    help="with --real: stride-permute DB rows (golden-ratio "
+                         "step) so runs of consecutive near-duplicate epochs "
+                         "never share a 128-row block — collapses the "
+                         "pileup tail that forces packed3's fallback")
     args = ap.parse_args(argv)
 
     from snickery_tpu import utils
@@ -108,6 +113,16 @@ def main(argv=None) -> int:
             order = cluster_order(feats[:db_v.n_units])
             feats[:db_v.n_units] = feats[:db_v.n_units][order]
             print(f"# clustered DB order in {time.time()-t0:.0f}s", file=sys.stderr)
+        if args.scatter:
+            n = db_v.n_units
+            step = 1
+            for c in range(int(0.618 * n) | 1, n):
+                if np.gcd(c, n) == 1:
+                    step = c
+                    break
+            order = (np.arange(n, dtype=np.int64) * step) % n
+            feats[:n] = feats[:n][order]
+            print(f"# scattered DB order (stride {step})", file=sys.stderr)
         tf, _, _ = benchmod.held_out_features(8, 128)
         rows = []
         for f in tf:
@@ -155,8 +170,12 @@ def main(argv=None) -> int:
             np.asarray(outs[-1][0][:1])
             wall = (time.time() - t0) / args.iters
             results.append((wall, tag))
-            print(f"{tag}: {wall*1e3:8.1f} ms  (compile {compile_s:.0f}s)",
-                  flush=True)
+            note = ""
+            if sel == "packed3diag":
+                n_ovf = int(np.sum(np.asarray(out[2]) > 0))
+                note = f"  overflow {n_ovf}/{out[2].shape[0]} cols"
+            print(f"{tag}: {wall*1e3:8.1f} ms  (compile {compile_s:.0f}s)"
+                  f"{note}", flush=True)
         except Exception as e:
             print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
     if results:

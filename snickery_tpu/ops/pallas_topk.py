@@ -317,7 +317,21 @@ def _packed3_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
     standard rank margin + exact-f32 rescoring; exact-f32 value ties
     still resolve to the lowest unit id (see _packed_select).
 
-    Returns (state_vals, state_cols, overflow_row (t_tile,) int32).
+    MEASURED VERDICT (real 1.048M-unit round-3 voice, 20480 rows, k=30,
+    split3cat, t_tile=512 — the production tiling): the fast path alone
+    is 206 ms vs stream's 195 ms, and 390/20480 columns overflow on the
+    natural DB layout even with the deferred threshold test below (runs
+    of consecutive near-duplicate epochs share 128-row blocks), so the
+    exact fallback always fires (379 ms total).  A golden-ratio stride
+    scatter of DB rows collapses overflow to ~2/20480 (bench_topk
+    --scatter) but cannot be used physically: the raw device layout
+    derives join contexts from ROW ADJACENCY (voicedb.device_layout).
+    "stream" therefore stays the default; packed3 remains selectable for
+    sweeps (select="packed3diag" times the fast path + reports overflow).
+
+    Returns (state_vals, state_cols, min-pending-threshold (t_tile,) —
+    int32 packed key; the kernel accumulates it across chunks and
+    compares against the final worst kept value).
     """
     imax = jnp.int32(0x7FFFFFFF)
     iota0_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, t_tile), 0)
@@ -361,13 +375,18 @@ def _packed3_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
     _, _, _, _, thr, pend, res_v, res_c = jax.lax.while_loop(
         pick_cond, pick_body,
         (jnp.int32(0), bm1, bm2, bm3, thr0, pend0, sv0, sc0))
-    # conservative exactness test: a pending block matters only if its
-    # extraction threshold (a strict lower bound on its unseen elements)
-    # still beats the column's worst kept value — `worst` only shrinks in
-    # later chunks, so clearing thr >= worst here stays safe forever
-    worst = jnp.max(res_v, axis=0)
-    ovf = jnp.max(pend * (thr < worst[None, :]).astype(jnp.int32), axis=0)
-    return res_v, res_c, ovf
+    # exactness bookkeeping: a pending block matters only if its extraction
+    # threshold (a strict lower bound on its unseen elements) beats the
+    # column's FINAL worst kept value.  Return the min pending threshold —
+    # the kernel accumulates it across chunks and compares against the
+    # final worst, which is far less conservative than a per-chunk test:
+    # during state warm-up (chunk 0 fills all k slots from NB blocks, so
+    # some block supplies a 4th element almost surely) `worst` is still
+    # huge, but those thresholds are chunk-0 values that end up far above
+    # the final worst, so the deferred test clears them.
+    imax32 = jnp.int32(0x7FFFFFFF)
+    pend_thr = jnp.min(jnp.where(pend > 0, thr, imax32), axis=0)  # (T,)
+    return res_v, res_c, pend_thr
 
 
 def _stream_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
@@ -482,11 +501,12 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
         if select == "packed3":
             @pl.when(j == 0)
             def _():
-                state_ovf[:, sl] = jnp.zeros((8, t_tile), jnp.int32)
-            res_v, res_c, ovf = _packed3_select(
+                state_ovf[:, sl] = jnp.full((8, t_tile), jnp.int32(0x7FFFFFFF),
+                                            jnp.int32)
+            res_v, res_c, pend_thr = _packed3_select(
                 folded, state_vals[:, sl], state_cols[:, sl], base_col,
                 k, nb, block, t_tile)
-            state_ovf[:, sl] = jnp.maximum(state_ovf[:, sl], ovf[None, :])
+            state_ovf[:, sl] = jnp.minimum(state_ovf[:, sl], pend_thr[None, :])
         else:
             res_v, res_c = _packed_select(
                 folded, state_vals[:, sl], state_cols[:, sl], base_col,
@@ -499,7 +519,10 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
             out_vals_ref[:] = _from_key(state_vals[:, sl])
             out_cols_ref[:] = state_cols[:, sl]
             if select == "packed3":
-                out_ovf_ref[:] = state_ovf[:, sl]
+                # deferred overflow test: min pending threshold vs FINAL worst
+                worst = jnp.max(state_vals[:, sl], axis=0)     # (T,) packed
+                out_ovf_ref[:] = (state_ovf[:, sl]
+                                  < worst[None, :]).astype(jnp.int32)
         return
 
     folded = s.reshape(nb, block, t_tile)              # free leading-dim split
@@ -794,7 +817,7 @@ def pallas_topk_preselect(
     in_specs = make_specs(ti, ci)
     out_map = lambda i, j: (0, ti(i, j))
     grid = ((n_chunks, n_tiles) if db_major else (n_tiles, n_chunks))
-    if select in ("packed", "packed3"):
+    if select in ("packed", "packed3", "packed3diag"):
         assert block & (block - 1) == 0, (
             f"packed select needs a power-of-two block, got {block}")
 
@@ -836,18 +859,27 @@ def pallas_topk_preselect(
             interpret=interpret,
         )(*operands)
 
+    ovf_diag = None
     if select == "packed3":
         # fast path + exact fallback: the packed3 kernel precomputes three
         # score levels per block and flags any column that would need a
-        # fourth same-block element in one chunk; iff any column overflowed
-        # (rare — runs of 4+ near-duplicate epochs inside one 128-row block
-        # competing for one target), rerun the exact stream kernel.  The
-        # returned top-k is exact either way.
+        # fourth same-block element in one chunk AND whose pending threshold
+        # beats the column's final worst kept value; iff any column
+        # overflowed (rare — runs of 4+ near-duplicate epochs inside one
+        # 128-row block competing for one target), rerun the exact stream
+        # kernel.  The returned top-k is exact either way.
         vals, cols, ovf = launch("packed3")
         vals, cols = jax.lax.cond(
             jnp.any(ovf[0] > 0),
             lambda: launch("stream"),
             lambda: (vals, cols))
+    elif select == "packed3diag":
+        # diagnostic-only (scripts/bench_topk.py): packed3 fast path with NO
+        # exact fallback — INEXACT where a column overflowed.  Returns the
+        # per-column overflow row as a third output so sweeps can time the
+        # fast path alone and measure how often the fallback would fire.
+        vals, cols, ovf = launch("packed3")
+        ovf_diag = ovf[0]
     else:
         vals, cols = launch(select)
     # the kernel keeps its state unsorted; order ascending by (value, col)
@@ -861,10 +893,13 @@ def pallas_topk_preselect(
         # inf (partition-starved) slots stay inf
         vals_t = vals_t + comp[:, None]
     if not sort:
+        if ovf_diag is not None:
+            return cols_t, vals_t, ovf_diag
         return cols_t, vals_t
     order = jnp.lexsort((cols_t, vals_t), axis=-1)
-    return (jnp.take_along_axis(cols_t, order, axis=-1),
-            jnp.take_along_axis(vals_t, order, axis=-1))
+    out = (jnp.take_along_axis(cols_t, order, axis=-1),
+           jnp.take_along_axis(vals_t, order, axis=-1))
+    return out + (ovf_diag,) if ovf_diag is not None else out
 
 
 def pad_for_pallas(n_rows: int, db_rows: int) -> tuple[int, int]:
