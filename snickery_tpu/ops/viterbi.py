@@ -48,21 +48,6 @@ def _pairwise_dists(right: jax.Array, left: jax.Array,
     return sq if squared else jnp.sqrt(sq)
 
 
-def _pairwise_dists_batched(right: jax.Array, left: jax.Array,
-                            squared: bool = False) -> jax.Array:
-    """(T, N, N) pairwise distances between right[t] and left[t] rows — the
-    batched form of :func:`_pairwise_dists` (same expression, same HIGHEST
-    precision, element-for-element identical maths)."""
-    rr = jnp.sum(right * right, axis=-1)[:, :, None]             # (T, N, 1)
-    ll = jnp.sum(left * left, axis=-1)[:, None, :]               # (T, 1, N)
-    cross = jax.lax.dot_general(
-        right, left, (((2,), (2,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)                      # (T, N, N)
-    sq = jnp.maximum(rr + ll - 2.0 * cross, 0.0)
-    return sq if squared else jnp.sqrt(sq)
-
-
 @functools.partial(jax.jit, static_argnames=("squared_joins",))
 def viterbi_decode(
     target_costs: jax.Array,     # (T, N) f32 — BIG_PENALTY for padded slots
@@ -89,19 +74,10 @@ def viterbi_decode(
     # unaffected.
     tc = jnp.where(live[:, None], target_costs, 0.0)
 
-    # ALL pairwise join distances hoisted OUT of the scan into one batched
-    # matmul over T (identical expression and HIGHEST precision, so the
-    # per-element maths matches the in-scan form): the scan body then
-    # touches only (N, N) arrays.  Measured at B=32 x T=2048, N=30,
-    # dj=151: the in-scan matmul variant streamed jl+jr through the scan
-    # at a (30,151)->(32,256) tile-padding penalty for 66 ms; hoisting
-    # drops the scan to pure min/argmin work (see the unroll note below).
-    dists_all = _pairwise_dists_batched(join_right[:-1], join_left[1:],
-                                        squared_joins)          # (T-1, N, N)
-
     def step(carry, inputs):
-        prev_cost = carry
-        tc_t, dists, live_t = inputs
+        prev_cost, prev_right = carry
+        tc_t, jl_t, jr_t, live_t = inputs
+        dists = _pairwise_dists(prev_right, jl_t, squared_joins)  # (N, N)
         # epsilon pruning: drop states far above the running best
         pruned = jnp.where(
             (eps > 0.0) & (prev_cost > jnp.min(prev_cost) + eps),
@@ -114,15 +90,15 @@ def viterbi_decode(
         trans = pruned[:, None] + jnp.where(live_t, jcw * dists, 0.0)  # (N, N)
         best_prev = jnp.argmin(trans, axis=0).astype(jnp.int32) # (N,)
         new_cost = jnp.min(trans, axis=0) + tc_t
-        return new_cost, best_prev
+        return (new_cost, jr_t), best_prev
 
-    init = tc[0]
+    init = (tc[0], join_right[0])
     # unroll amortises the per-step scan dispatch overhead: the step body is
-    # tiny ((N,N) adds + min/argmin) so T=2048 sequential steps are
-    # latency-bound; unroll=8 trades compile size for it (8/16/32/64 swept
-    # at B=32 production shapes: 8 won)
-    final_cost, backptrs = jax.lax.scan(
-        step, init, (tc[1:], dists_all, live[1:]),
+    # tiny (one (N,dj)x(dj,N) matmul + (N,N) reductions, ~0.02 us of MXU)
+    # so T=2048 sequential steps are latency-bound (measured 54 ms -> the
+    # scan overhead dominates); unroll=8 trades compile size for it
+    (final_cost, _), backptrs = jax.lax.scan(
+        step, init, (tc[1:], join_left[1:], join_right[1:], live[1:]),
         unroll=8,
     )
     # final state: best cost at the last *live* step.  Padded steps cost 0 and
