@@ -149,10 +149,23 @@ def _compute_scores(mm_precision, has_part, has_ling, ling_weights, mask_col,
     if mm_precision == "split3":
         cross = _split3_dot(db, tgt)                   # (CHUNK, T_TILE)
     elif mm_precision == "split3cat":
-        # operands arrive pre-split and K-concatenated (bf16, see wrapper):
-        # ONE MXU pass at K=3d instead of three at K=d — 3d pads to the
-        # next 128 multiple (e.g. 453->512) where three separate passes pad
-        # to 3*256=768 K-units at d=151, a 1.5x MXU-work saving.
+        if mask_col is not None:
+            # zero-transient split3cat: the operand is the resident RAW
+            # block — split to bf16 hi/lo IN-KERNEL and lane-concatenate to
+            # [hi | hi | lo] so the MXU still sees ONE K=pad128(3d) pass
+            # (the targets arrived pre-concatenated as [t_hi|t_lo|t_hi]).
+            # The casts and the concat fuse into the operand load; no
+            # per-step derived DB operand ever exists in HBM.
+            db_hi, db_lo = _bf16_split(db)
+            parts = [db_hi, db_hi, db_lo]
+            pad = tgt.shape[1] - 3 * db.shape[1]
+            if pad:
+                parts.append(jnp.zeros((db.shape[0], pad), jnp.bfloat16))
+            db = jnp.concatenate(parts, axis=1)
+        # operands are split and K-concatenated (bf16): ONE MXU pass at
+        # K=3d instead of three at K=d — 3d pads to the next 128 multiple
+        # (e.g. 453->512) where three separate passes pad to 3*256=768
+        # K-units at d=151, a 1.5x MXU-work saving.
         cross = jax.lax.dot_general(
             db, tgt, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # (CHUNK, T_TILE)
@@ -663,7 +676,7 @@ def pallas_topk_preselect(
                                      # weight in-jit (fuses with the
                                      # split3cat cast pass) and pin padding
                                      # rows to the 1e6 never-wins sentinel
-    zero_transient: bool = False,    # capacity mode (split3/highest only):
+    zero_transient: bool = False,    # capacity mode (all precisions):
                                      # ``db`` is the FULL resident raw block
                                      # (q, kd+1) incl. the jr-pointer column;
                                      # the kernel consumes it directly with
@@ -726,9 +739,6 @@ def pallas_topk_preselect(
         # (zeros in the raw block) take the same 1e6-affine never-wins
         # sentinel sqn as the derived-operand path.
         assert db_affine is not None, "zero_transient requires db_affine"
-        assert mm_precision in ("split3", "highest"), (
-            "zero_transient supports split3/highest; split3cat's bf16 "
-            "concat operand must be materialised per step (see ROADMAP)")
         from snickery_tpu.voicedb.device_layout import affine_rows
         am, astd, aw, n_real = db_affine
         kd = am.shape[0]
@@ -741,6 +751,11 @@ def pallas_topk_preselect(
         t2 = targets * scale[None, :]
         comp = 2.0 * (t2 @ am)                               # (T,)
         targets = jnp.pad(t2, ((0, 0), (0, 1)))              # zero ptr col
+        if mm_precision == "split3cat":
+            # the DB side is split + lane-concatenated IN-KERNEL from the
+            # raw block (see _compute_scores) — only the small target
+            # operand is concatenated here
+            targets = _split3cat_targets(targets)
         valid = jnp.arange(M, dtype=jnp.int32) < n_real
         dbn = affine_rows(db[:M, :kd], am, astd, aw, valid, 1e6)
         sqn = jnp.sum(dbn * dbn, axis=-1).reshape(n_chunks, chunk, 1)
@@ -767,8 +782,11 @@ def pallas_topk_preselect(
 
     # operand plan: each entry is (block_shape, kind) with kind "t" (indexed
     # by the target-tile axis) or "c" (indexed by the db-chunk axis); the
-    # actual index maps are built per grid layout below
-    spec_plan = [((t_tile, d), "t"), ((chunk, d), "c"), ((1, chunk, 1), "c")]
+    # actual index maps are built per grid layout below.  Target and DB
+    # lane widths differ in zero-transient split3cat mode (concatenated
+    # bf16 targets vs the raw f32 block).
+    spec_plan = [((t_tile, targets.shape[1]), "t"), ((chunk, d), "c"),
+                 ((1, chunk, 1), "c")]
     operands = [targets, db, sqn]
     if has_part:
         tgt_part, db_part = partition

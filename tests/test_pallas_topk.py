@@ -229,7 +229,8 @@ def _raw_voice(rng, m, M, kd):
     return feats, raw
 
 
-@pytest.mark.parametrize("mm_precision,seed", [("highest", 81), ("split3", 82)])
+@pytest.mark.parametrize("mm_precision,seed",
+                         [("highest", 81), ("split3", 82), ("split3cat", 84)])
 def test_pallas_zero_transient_matches_derived(mm_precision, seed):
     """Capacity mode (raw-block operand, affine folded into prescaled
     targets) selects the same candidates as the derived-operand path, and
@@ -262,6 +263,16 @@ def test_pallas_zero_transient_matches_derived(mm_precision, seed):
     same = i_zt == i_d
     tol = 1e-4 if mm_precision == "highest" else 2e-3
     np.testing.assert_allclose(v_zt[same], v_d[same], rtol=tol, atol=tol)
+    if mm_precision == "split3cat":
+        # the zt kernel's in-kernel [hi|hi|lo] lane-concat computes the SAME
+        # bf16-split algebra as split3 on identical operands — cross-check
+        i_s3, v_s3 = pallas_topk_preselect(
+            jnp.asarray(targets), jnp.asarray(raw), k=k, interpret=True,
+            mm_precision="split3", db_affine=aff,
+            zero_transient=True, m_rows=M)
+        np.testing.assert_array_equal(i_zt, np.asarray(i_s3))
+        np.testing.assert_allclose(v_zt, np.asarray(v_s3),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_zero_transient_fused_masks():
