@@ -85,6 +85,14 @@ def main(argv=None) -> int:
                          "step) so runs of consecutive near-duplicate epochs "
                          "never share a 128-row block — collapses the "
                          "pileup tail that forces packed3's fallback")
+    ap.add_argument("--db-op", default="norm",
+                    choices=("norm", "raw", "zt"),
+                    help="with --real: DB operand form. 'norm' = pre-"
+                         "normalised features (kernel-only timing), 'raw' = "
+                         "raw rows + in-jit affine (the production derived-"
+                         "operand path incl. its per-step transform), 'zt' = "
+                         "zero-transient capacity mode (raw resident block, "
+                         "affine folded into prescaled targets)")
     args = ap.parse_args(argv)
 
     from snickery_tpu import utils
@@ -100,14 +108,34 @@ def main(argv=None) -> int:
                   for c in args.combos.split()]
 
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+    db_affine = None
+    zt = False
+    m_rows = None
     if args.real:
         import bench as benchmod
         from snickery_tpu.voicedb.db import VoiceDB
         db_v = VoiceDB.load(os.path.join(benchmod.cache_dir(), "bench1m.voicedb"))
-        feats = db_v.normalised_features().astype(np.float32)
-        mp = ((feats.shape[0] + 8191) // 8192) * 8192
-        feats = np.pad(feats, ((0, mp - feats.shape[0]), (0, 0)),
-                       constant_values=1e6)
+        mp = ((db_v.n_units + 8191) // 8192) * 8192
+        if args.db_op in ("raw", "zt"):
+            # production operand forms: the kernel wrapper derives the
+            # normalised operand in-jit ('raw') or folds the affine into
+            # prescaled targets and reads the resident raw block ('zt')
+            from snickery_tpu.voicedb.device_layout import build_raw_blocks
+            import jax.numpy as _jnp
+            raw_block, _, _ = build_raw_blocks(
+                db_v.unit_features, db_v.join_right, mp, ndb=1)
+            kd = db_v.unit_features.shape[1]
+            db_affine = (_jnp.asarray(db_v.mean_target.astype(np.float32)),
+                         _jnp.asarray(db_v.std_target.astype(np.float32)),
+                         _jnp.ones((kd,), _jnp.float32),
+                         _jnp.int32(db_v.n_units))
+            zt = args.db_op == "zt"
+            feats = raw_block if zt else raw_block[:mp, :kd]
+            m_rows = mp if zt else None
+        else:
+            feats = db_v.normalised_features().astype(np.float32)
+            feats = np.pad(feats, ((0, mp - feats.shape[0]), (0, 0)),
+                           constant_values=1e6)
         if args.cluster:
             t0 = time.time()
             order = cluster_order(feats[:db_v.n_units])
@@ -134,10 +162,10 @@ def main(argv=None) -> int:
         targets = jnp.asarray(tw)
         db = jnp.asarray(feats)
         args.rows = targets.shape[0]
-        args.units = db.shape[0]
+        args.units = mp          # grid rows (zt blocks carry a halo tail)
         args.dim = db.shape[1]
-        print(f"# real data: {args.units} units, {args.rows} target rows",
-              file=sys.stderr)
+        print(f"# real data: {args.units} units, {args.rows} target rows, "
+              f"db-op {args.db_op}", file=sys.stderr)
     else:
         rng = np.random.default_rng(0)
         targets = jnp.asarray(
@@ -160,7 +188,8 @@ def main(argv=None) -> int:
                 return pallas_topk_preselect(
                     targets, db, k=args.k, mm_precision=prec,
                     sort=False, t_tile=t_tile, chunk=chunk, block=block,
-                    select=sel)
+                    select=sel, db_affine=db_affine,
+                    zero_transient=zt, m_rows=m_rows)
             t0 = time.time()
             out = run()
             np.asarray(out[0][:1])      # sync (host fetch)
