@@ -74,7 +74,70 @@ def _no_nan(x):
     return x
 
 
+def _sig(x, n: int = 5):
+    """Shorten floats to n significant digits — the final line must fit the
+    driver's 2,000-char tail capture (round 3's 2,558-char line was recorded
+    truncated mid-JSON -> parsed=null despite rc=0)."""
+    if isinstance(x, bool) or not isinstance(x, float):
+        return x
+    if x != x or x in (float("inf"), float("-inf")) or x == 0.0:
+        return x
+    import math
+    return round(x, max(0, n - 1 - int(math.floor(math.log10(abs(x))))))
+
+
+# keys promoted from each per-config block into the compact final line:
+# the per-config rtf/latency plus the headline fidelity-gate numbers only.
+# EVERYTHING else (counts, quality metrics, mode timings, trend tables)
+# lives in BENCH_full.json + BENCH_partial.json + stderr logs.
+_COMPACT_KEYS = ("rtf", "latency_ms",
+                 "agreement_tie_adjusted", "oracle_path_cost_gap_rel",
+                 "agreement_vs_f32_tie_adjusted", "f32_gate_worst_cost_gap_rel")
+
+
+def _compact_extra() -> dict:
+    full = _STATE["extra"]
+    out: dict = {}
+    errors: dict = {}
+    skipped: list = []
+    for name, block in full.items():
+        if isinstance(block, dict) and (name.startswith("config")
+                                        or name == "capacity"):
+            keep = {k: _sig(block[k]) for k in _COMPACT_KEYS if k in block}
+            if keep:
+                out[name] = keep
+        elif name in ("pallas_compiled_vs_interpret", "bench_elapsed_sec",
+                      "killed_by_signal", "killed_by_watchdog"):
+            out[name] = _sig(block)
+        elif name.endswith("_error"):
+            # exception TYPE only; the full message is in BENCH_full.json
+            errors[name[:-6]] = str(block).split(":")[0][:40]
+        elif name.endswith("_skipped"):
+            skipped.append(name[:-8])
+    if errors:
+        out["errors"] = errors
+    if skipped:
+        out["skipped"] = skipped
+    out["detail"] = "BENCH_full.json"
+    return out
+
+
 def _result_line() -> str:
+    """The ONE stdout line the driver parses.  COMPACT by construction
+    (< 1,500 chars with every config populated — tested in
+    tests/test_bench_line.py); the full per-config detail goes to
+    BENCH_full.json via _full_line()."""
+    rtf = _STATE["rtf"]
+    return json.dumps(_no_nan({
+        "metric": "synthesis_rtf",
+        "value": rtf,
+        "unit": "wall_sec_per_audio_sec",
+        "vs_baseline": rtf / 0.003,
+        "extra": _compact_extra(),
+    }), allow_nan=False, separators=(",", ":"))
+
+
+def _full_line() -> str:
     rtf = _STATE["rtf"]
     return json.dumps(_no_nan({
         "metric": "synthesis_rtf",
@@ -86,17 +149,24 @@ def _result_line() -> str:
 
 
 def flush_partial() -> None:
-    """Persist the running summary after each config (crash insurance)."""
-    try:
-        with open(os.path.join(cache_dir(), "BENCH_partial.json"), "w") as f:
-            f.write(_result_line() + "\n")
-    except OSError:
-        pass
+    """Persist the running FULL summary after each config (crash insurance +
+    the judge-readable detail record)."""
+    line = _full_line() + "\n"
+    for path in (os.path.join(cache_dir(), "BENCH_partial.json"),
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_full.json")):
+        try:
+            with open(path, "w") as f:
+                f.write(line)
+        except OSError:
+            pass
 
 
 def emit_final() -> None:
     if not _STATE["emitted"]:
         _STATE["emitted"] = True
+        flush_partial()
+        log("full detail: " + _full_line())
         print(_result_line(), flush=True)
 
 
