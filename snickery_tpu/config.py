@@ -110,6 +110,16 @@ class SnickeryConfig:
                                             # (bf16_3x) | "split3cat" (same
                                             # maths as split3 in ONE K=3d MXU
                                             # pass: ~1.7x faster preselect)
+    preselect_margin: int = -1              # extra preselect rank slots under
+                                            # approximate kernel precisions;
+                                            # -1 = per-precision default
+                                            # (const.PRESELECT_MARGIN*)
+    zero_transient: int = -1                # Pallas kernel consumes the
+                                            # resident raw block directly (no
+                                            # per-step derived DB operand in
+                                            # HBM); -1 = auto policy
+                                            # (ops.topk.zero_transient_default),
+                                            # 0 = off, 1 = on
 
     # ---- misc ----
     voice_name: str = "voice"

@@ -71,3 +71,12 @@ JOIN_CONTEXT_FRAMES = 1
 # unit-sequence disagreement vs the float64 oracle at 1M units).  Exact
 # precisions ("highest", and the XLA fallback path) need no margin.
 PRESELECT_MARGIN = 10
+
+# split3cat concentrates all three bf16 product terms into ONE MXU pass and
+# is the production speed mode; round 3 measured its broad-gate agreement
+# vs exact f32 at raw 0.9192 / tie-adjusted 0.9799 with margin 10 — real
+# rank slips past k+10 under ~1e-3 score noise on near-duplicate-dense DBs.
+# Round 4 sweeps the margin at the 1M-unit voice (scripts/exp_fidelity.py)
+# and pins the smallest value that passes the >=0.99 tie-adjusted bar with
+# worst per-utterance f64 path-cost gap <= 1e-6; see ROADMAP.md.
+PRESELECT_MARGIN_SPLIT3CAT = 34

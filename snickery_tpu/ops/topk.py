@@ -27,12 +27,14 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from snickery_tpu.const import ID_RANK_PENALTY, PRESELECT_MARGIN
+from snickery_tpu.const import (ID_RANK_PENALTY, PRESELECT_MARGIN,
+                                PRESELECT_MARGIN_SPLIT3CAT)
 
 
 def preselect_margin(use_pallas: bool, mm_precision: str,
                      halfphone: bool = False,
-                     zero_transient: bool = False) -> int:
+                     zero_transient: bool = False,
+                     override: int = -1) -> int:
     """Extra preselect rank slots under approximate kernel precisions.
 
     The Pallas kernel RANKS with bf16-split matmuls for split3/split3cat;
@@ -45,10 +47,30 @@ def preselect_margin(use_pallas: bool, mm_precision: str,
     ``zero_transient`` (capacity mode) folds the DB affine into prescaled
     targets, so even "highest" ranks with a differently-rounded f32
     expression than the exact rescoring — give it the same margin.
+    ``override`` >= 0 forces an explicit margin (config key
+    ``preselect_margin``; used by the bench fidelity sweeps).
     """
+    if override >= 0:
+        return override
     if use_pallas and (mm_precision != "highest" or zero_transient):
+        if mm_precision == "split3cat":
+            return PRESELECT_MARGIN_SPLIT3CAT
         return PRESELECT_MARGIN
     return 0
+
+
+def zero_transient_default(use_pallas: bool, mm_precision: str) -> bool:
+    """Central policy: does the Pallas preselect consume the resident raw
+    block directly (affine folded into prescaled targets — no per-step
+    derived DB operand in HBM)?  Callers may override via their
+    ``zero_transient`` static arg (-1 = this policy, 0 = off, 1 = on).
+
+    split3cat included: measured on the 1M-unit bench voice (round 4,
+    scripts/exp_fidelity.py), the in-kernel bf16 split + lane-concat form
+    is within noise of the materialised-operand form (see ROADMAP.md), so
+    the speed mode gets the ~20M-unit single-chip capacity for free.
+    """
+    return use_pallas
 
 
 # finite stand-in for +inf inside MXU-based extraction (0 * inf = NaN);

@@ -52,7 +52,7 @@ from snickery_tpu.ops.ola import overlap_add_units
 from snickery_tpu.ops.topk import (halfphone_exact_rank,
                                    halfphone_lattice_mask,
                                    order_topk_positions, preselect_margin,
-                                   topk_preselect)
+                                   topk_preselect, zero_transient_default)
 from snickery_tpu.ops.viterbi import greedy_decode, viterbi_decode
 from snickery_tpu.voicedb.device_layout import (affine_rows,
                                                 gather_join_contexts)
@@ -144,7 +144,7 @@ def _select_decode_batch(
     *, n_cand, chunk, jcw, eps, db_axis, ndb, m_shard, use_pallas=False,
     multivoice=False, mm_precision="highest", halfphone=False,
     ling_weights=None, pallas_interpret=False, greedy=False,
-    squared_joins=False,
+    squared_joins=False, margin=-1, zero_transient=-1,
 ):
     """Batched selection + decode on one device (runs inside shard_map).
 
@@ -172,9 +172,10 @@ def _select_decode_batch(
     # the 1e6 never-wins sentinel in the derived operand
     nr_local = jnp.clip(n_real - shard_id * m_local, 0, m_local)
     db_affine = (*aff_t, nr_local)
-    # zero-transient capacity mode (split3/highest Pallas): the kernel
-    # consumes the resident raw shard directly — see ops.pallas_topk
-    zt = use_pallas and mm_precision != "split3cat"
+    # zero-transient mode: the kernel consumes the resident raw shard
+    # directly — see ops.pallas_topk + ops.topk.zero_transient_default
+    zt = (zero_transient_default(use_pallas, mm_precision)
+          if zero_transient < 0 else bool(use_pallas and zero_transient))
     db_op = raw_shard if zt else raw_shard[:m_local, :kd]
     # a sharded DB slice need not stay divisible by the configured scan
     # chunk (Pallas padding scales by mesh_db, not by this chunk): fall
@@ -186,9 +187,10 @@ def _select_decode_batch(
     tw = jnp.where(live[:, :, None], targets, 0.0)
     tw_flat = tw.reshape(B * T, D)
 
-    margin = preselect_margin(use_pallas, mm_precision, halfphone,
-                              zero_transient=zt)
-    k_local = min(n_cand + margin, m_local)
+    k_local = min(n_cand + preselect_margin(use_pallas, mm_precision,
+                                            halfphone, zero_transient=zt,
+                                            override=margin),
+                  m_local)
     tgt_part = jnp.repeat(voice_ids.astype(jnp.int32), T)            # (B*T,)
     ling = None
     if halfphone:
@@ -350,7 +352,8 @@ def _select_decode_batch(
     jax.jit,
     static_argnames=("mesh", "n_cand", "chunk", "max_frag", "out_len", "taper",
                      "use_pallas", "mm_precision", "halfphone", "ling_weights",
-                     "pallas_interpret", "greedy", "squared_joins", "do_ola"),
+                     "pallas_interpret", "greedy", "squared_joins", "do_ola",
+                     "margin", "zero_transient"),
 )
 def batched_synth_step(
     voice: ShardedVoice,
@@ -376,6 +379,8 @@ def batched_synth_step(
     greedy: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
+    margin: int = -1,        # preselect rank margin (-1 = auto policy)
+    zero_transient: int = -1,  # -1 = auto policy, 0 = off, 1 = on
 ):
     """Batched multi-utterance synthesis over the (data x db) mesh.
 
@@ -428,7 +433,8 @@ def batched_synth_step(
             mm_precision=mm_precision, halfphone=halfphone,
             ling_weights=ling_weights,
             pallas_interpret=pallas_interpret, greedy=greedy,
-            squared_joins=squared_joins)
+            squared_joins=squared_joins, margin=margin,
+            zero_transient=zero_transient)
 
         if do_ola:
             def ola_one(c1, c2, len_one):

@@ -27,7 +27,7 @@ from snickery_tpu.ops.ola import host_overlap_add, overlap_add_units
 from snickery_tpu.ops.topk import (halfphone_exact_rank,
                                    halfphone_lattice_mask,
                                    order_topk_positions, preselect_margin,
-                                   topk_preselect)
+                                   topk_preselect, zero_transient_default)
 from snickery_tpu.ops.viterbi import viterbi_decode, greedy_decode
 from snickery_tpu.voicedb.db import VoiceDB
 from snickery_tpu.voicedb.device_layout import (affine_rows, build_raw_blocks,
@@ -100,7 +100,8 @@ class DeviceDB(NamedTuple):
     static_argnames=("n_cand", "chunk", "greedy", "halfphone",
                      "max_frag", "out_len", "taper", "use_pallas",
                      "mm_precision", "multivoice", "ling_weights",
-                     "pallas_interpret", "squared_joins", "do_ola"),
+                     "pallas_interpret", "squared_joins", "do_ola",
+                     "margin", "zero_transient"),
 )
 def synth_pipeline_step(
     db: DeviceDB,
@@ -126,6 +127,8 @@ def synth_pipeline_step(
     pallas_interpret: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
+    margin: int = -1,        # preselect rank margin (-1 = auto policy)
+    zero_transient: int = -1,  # -1 = auto policy, 0 = off, 1 = on
 ):
     """The full per-utterance synthesis program (one compiled unit).
 
@@ -154,14 +157,15 @@ def synth_pipeline_step(
     part = (tgt_vids, db.vids) if multivoice else None
     # rank margin under approximate kernel precisions: preselect k+margin,
     # keep the exact top-k after rescoring below (ops.topk.preselect_margin)
-    # zero-transient capacity mode: split3/highest kernels consume the
-    # resident raw block directly (affine folded into prescaled targets,
-    # ops.pallas_topk) — no per-step derived DB operand in HBM.  split3cat
-    # keeps its materialised bf16 concat operand (speed mode).
-    zt = use_pallas and mm_precision != "split3cat"
-    margin = preselect_margin(use_pallas, mm_precision, halfphone,
-                              zero_transient=zt)
-    k_sel = min(n_cand + margin, m_pad)
+    # zero-transient mode: the kernel consumes the resident raw block
+    # directly (affine folded into prescaled targets, ops.pallas_topk) —
+    # no per-step derived DB operand in HBM (ops.topk.zero_transient_default
+    # for the policy + the measured split3cat verdict).
+    zt = (zero_transient_default(use_pallas, mm_precision)
+          if zero_transient < 0 else bool(use_pallas and zero_transient))
+    k_sel = min(n_cand + preselect_margin(use_pallas, mm_precision, halfphone,
+                                          zero_transient=zt, override=margin),
+                m_pad)
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
@@ -241,7 +245,7 @@ def synth_pipeline_step(
 @functools.partial(jax.jit, static_argnames=(
     "n_cand", "chunk", "use_pallas", "mm_precision", "multivoice",
     "max_frag", "out_len", "taper", "pallas_interpret", "squared_joins",
-    "do_ola"))
+    "do_ola", "margin", "zero_transient"))
 def _streaming_step(
     db: DeviceDB,
     targets: jax.Array,      # (T, D) unit-rate targets (padded)
@@ -262,6 +266,8 @@ def _streaming_step(
     pallas_interpret: bool = False,
     squared_joins: bool = False,
     do_ola: bool = True,
+    margin: int = -1,
+    zero_transient: int = -1,
 ):
     """One streaming-decode step, fully on device: preselect + greedy decode
     with an incoming join context + chunk OLA.  Returns (unit ids (T,),
@@ -281,9 +287,11 @@ def _streaming_step(
     live = jnp.arange(T, dtype=jnp.int32) < length
     tw = jnp.where(live[:, None], tw, 0.0)
     part = (tgt_codes, db.vids) if multivoice else None
-    zt = use_pallas and mm_precision != "split3cat"
-    margin = preselect_margin(use_pallas, mm_precision, zero_transient=zt)
-    k_sel = min(n_cand + margin, m_pad)
+    zt = (zero_transient_default(use_pallas, mm_precision)
+          if zero_transient < 0 else bool(use_pallas and zero_transient))
+    k_sel = min(n_cand + preselect_margin(use_pallas, mm_precision,
+                                          zero_transient=zt, override=margin),
+                m_pad)
     if use_pallas:
         from snickery_tpu.ops.pallas_topk import pallas_topk_preselect
         cand_idx, scores = pallas_topk_preselect(
@@ -584,6 +592,7 @@ class Synthesiser:
             pallas_interpret=self._pallas_interpret(),
             squared_joins=cfg.join_cost_type == "squared",
             do_ola=cfg.preload_all_waves,
+            margin=cfg.preselect_margin, zero_transient=cfg.zero_transient,
         )
 
     # ----------------------------------------------------------------- public
@@ -775,7 +784,9 @@ class Synthesiser:
                 pallas_interpret=self._pallas_interpret(),
                 greedy=greedy,
                 squared_joins=cfg.join_cost_type == "squared",
-                do_ola=cfg.preload_all_waves))
+                do_ola=cfg.preload_all_waves,
+                margin=cfg.preselect_margin,
+                zero_transient=cfg.zero_transient))
         results = []
         for b in range(B0):
             n = int(lengths[b])
@@ -927,7 +938,9 @@ class Synthesiser:
                 taper=cfg.taper_length,
                 pallas_interpret=self._pallas_interpret(),
                 squared_joins=cfg.join_cost_type == "squared",
-                do_ola=cfg.preload_all_waves)
+                do_ola=cfg.preload_all_waves,
+                margin=cfg.preselect_margin,
+                zero_transient=cfg.zero_transient)
             if pending is not None:
                 yield finish(pending)
             pending = (unit_ids, audio, total, t_units)
