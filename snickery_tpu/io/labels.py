@@ -9,12 +9,19 @@ unverified, mount empty).
 
 from __future__ import annotations
 
+import logging
 import re
 from dataclasses import dataclass
 
 import numpy as np
 
+logger = logging.getLogger("snickery_tpu")
+
 HTK_UNITS_PER_SEC = 10_000_000  # 100 ns
+
+# two label rows may disagree about a shared boundary by this much (seconds)
+# before we call them overlapping — floating-point slop, not misalignment
+_OVERLAP_TOL_SEC = 1e-6
 
 # Full-context label: ll^l-c+r=rr@... — extract the quinphone.
 _QUINPHONE_RE = re.compile(r"^(.+?)\^(.+?)-(.+?)\+(.+?)=(.+?)[@/].*$")
@@ -50,24 +57,58 @@ def read_hts_label(path: str) -> list[PhoneSegment]:
     markers, or repeated model names): consecutive lines with the same model
     name are merged into one phone whose interior boundaries are kept as
     state bounds.
+
+    Real-world hardening (VERDICT r4 item 7):
+    - Times with a fractional part are interpreted as SECONDS (Festival-
+      style labels) with a warning; integer times as HTK 100 ns units — a
+      seconds file read as HTK units would silently shrink every phone to
+      ~100 ns.
+    - A row whose end precedes its start, or that overlaps the previous row
+      by more than float slop, raises ValueError naming the row — shuffled
+      or wrongly-concatenated label files must not misparse silently
+      (silence GAPS between rows are fine).
+    - Zero-length phones (start == end) are dropped with a warning: they
+      carry no audio and would otherwise produce zero-width halfphones.
     """
-    rows: list[tuple[float, float, str]] = []
+    raw_rows: list[tuple[float, float, str]] = []
+    any_fractional = False
     with open(path) as f:
         for ln in f:
             parts = ln.split()
             if len(parts) < 3:
                 continue
             try:
-                start = float(parts[0]) / HTK_UNITS_PER_SEC
-                end = float(parts[1]) / HTK_UNITS_PER_SEC
+                start = float(parts[0])
+                end = float(parts[1])
             except ValueError:
                 continue
+            any_fractional |= (start != int(start)) or (end != int(end))
             model = parts[2]
             model = re.sub(r"\[\d+\]$", "", model)  # strip state index marker
-            rows.append((start, end, model))
+            raw_rows.append((start, end, model))
+
+    scale = 1.0 / HTK_UNITS_PER_SEC
+    if any_fractional:
+        # HTK alignment times are integral 100 ns counts; fractional values
+        # mean the file is already in seconds (Festival/esps .lab style)
+        logger.warning("%s: fractional times found — interpreting label "
+                       "times as SECONDS, not HTK 100 ns units", path)
+        scale = 1.0
+    rows = [(s * scale, e * scale, m) for s, e, m in raw_rows]
 
     segments: list[PhoneSegment] = []
-    for start, end, model in rows:
+    prev_end = None
+    for i, (start, end, model) in enumerate(rows):
+        if end < start - _OVERLAP_TOL_SEC:
+            raise ValueError(
+                f"{path}: row {i} ({model!r}) ends before it starts "
+                f"({start:.6f}s .. {end:.6f}s) — corrupt label file")
+        if prev_end is not None and start < prev_end - _OVERLAP_TOL_SEC:
+            raise ValueError(
+                f"{path}: row {i} ({model!r}) starts at {start:.6f}s, "
+                f"overlapping the previous row ending at {prev_end:.6f}s — "
+                "label rows must be non-overlapping and time-ordered")
+        prev_end = max(end, prev_end) if prev_end is not None else end
         phone, quin = parse_context(model)
         if segments and segments[-1].quinphone == quin and abs(segments[-1].end_sec - start) < 1e-9:
             seg = segments[-1]
@@ -75,7 +116,11 @@ def read_hts_label(path: str) -> list[PhoneSegment]:
             seg.end_sec = end
         else:
             segments.append(PhoneSegment(start, end, phone, quin, []))
-    return segments
+    kept = [s for s in segments if s.end_sec > s.start_sec]
+    if len(kept) != len(segments):
+        logger.warning("%s: dropped %d zero-length phone segment(s)",
+                       path, len(segments) - len(kept))
+    return kept
 
 
 @dataclass

@@ -76,3 +76,150 @@ def test_stereo_int16_wav_normalised(tmp_path, toy_wave):
     assert back.ndim == 1 and sr2 == sr
     assert np.abs(back).max() <= 1.0
     np.testing.assert_allclose(back, stereo.mean(axis=1), atol=2e-4)
+
+
+# ------------------------------------------------------------- round 4:
+# adversarial real-world format variants (VERDICT r4 item 7) — every case
+# either parses correctly or rejects with an actionable message; never a
+# silent misparse.
+
+import pytest
+
+
+def test_est_unknown_header_fields_ignored(tmp_path):
+    p = str(tmp_path / "x.pm")
+    with open(p, "w") as f:
+        f.write("EST_File Track\n")
+        f.write("DataType ascii\n")
+        f.write("CommentWeirdField some value with spaces\n")   # unseen field
+        f.write("ByteOrder 10\n")
+        f.write("EST_Header_End\n")
+        f.write("0.010 1 1\n0.020 1 1\n")
+    np.testing.assert_array_equal(
+        read_est_pitchmarks(p, 16000), [160, 320])
+
+
+def test_est_binary_rejected(tmp_path):
+    p = str(tmp_path / "x.pm")
+    with open(p, "wb") as f:
+        f.write(b"EST_File Track\nDataType binary\nEST_Header_End\n")
+        f.write(np.arange(5, dtype=np.float32).tobytes())
+    with pytest.raises(ValueError, match="binary"):
+        read_est_pitchmarks(p, 16000)
+
+
+def test_est_truncated_header_rejected(tmp_path):
+    p = str(tmp_path / "x.pm")
+    with open(p, "w") as f:
+        f.write("EST_File Track\nDataType ascii\n0.010 1 1\n")  # no Header_End
+    with pytest.raises(ValueError, match="EST_Header_End"):
+        read_est_pitchmarks(p, 16000)
+
+
+def test_est_empty_but_valid_track(tmp_path):
+    p = str(tmp_path / "x.pm")
+    write_est_pitchmarks(np.zeros(0, np.int32), p, 16000)
+    assert len(read_est_pitchmarks(p, 16000)) == 0
+
+
+def test_est_garbage_file_rejected(tmp_path):
+    p = str(tmp_path / "x.pm")
+    with open(p, "w") as f:
+        f.write("this is not\na pitchmark file\n")
+    with pytest.raises(ValueError, match="no parseable"):
+        read_est_pitchmarks(p, 16000)
+
+
+def test_est_unsorted_duplicate_marks(tmp_path):
+    p = str(tmp_path / "x.pm")
+    with open(p, "w") as f:
+        f.write("0.030\n0.010\n0.020\n0.010\n")    # shuffled + duplicate
+    np.testing.assert_array_equal(
+        read_est_pitchmarks(p, 16000), [160, 320, 480])
+
+
+def test_est_millisecond_units_autodetected(tmp_path):
+    # the same marks written in ms: spacing ~5 "seconds" is impossible as
+    # pitch periods, so the reader converts (and an explicit units='ms'
+    # gives the identical answer)
+    p = str(tmp_path / "x.pm")
+    with open(p, "w") as f:
+        f.write("".join(f"{t:.1f}\n" for t in [10.0, 15.0, 20.0, 25.0, 30.0]))
+    auto = read_est_pitchmarks(p, 16000)
+    explicit = read_est_pitchmarks(p, 16000, units="ms")
+    np.testing.assert_array_equal(auto, explicit)
+    np.testing.assert_array_equal(auto, [160, 240, 320, 400, 480])
+    # and an explicit 's' overrides the heuristic
+    forced = read_est_pitchmarks(p, 16000, units="s")
+    np.testing.assert_array_equal(forced, [160000, 240000, 320000, 400000, 480000])
+
+
+def test_est_implausible_units_rejected(tmp_path):
+    p = str(tmp_path / "x.pm")
+    with open(p, "w") as f:   # spacing ~5000 s: not seconds, not ms
+        f.write("0\n5000\n10000\n15000\n")
+    with pytest.raises(ValueError, match="implausible"):
+        read_est_pitchmarks(p, 16000)
+
+
+def test_label_seconds_autodetected(tmp_path):
+    # Festival-style label already in seconds: fractional values make the
+    # HTK-unit reading impossible
+    p = str(tmp_path / "x.lab")
+    with open(p, "w") as f:
+        f.write("0.0 0.10 xx^sil-a+b=c@1_2\n")
+        f.write("0.10 0.25 sil^a-b+c=xx@1_2\n")
+    phones = read_hts_label(p)
+    assert len(phones) == 2
+    assert abs(phones[0].end_sec - 0.10) < 1e-9
+    assert abs(phones[1].end_sec - 0.25) < 1e-9
+
+
+def test_label_overlapping_rows_rejected(tmp_path):
+    p = str(tmp_path / "x.lab")
+    with open(p, "w") as f:
+        f.write("0 1000000 xx^sil-a+b=c@1_2\n")
+        f.write("500000 1500000 sil^a-b+c=xx@1_2\n")    # overlaps row 0
+    with pytest.raises(ValueError, match="overlap"):
+        read_hts_label(p)
+
+
+def test_label_negative_length_rejected(tmp_path):
+    p = str(tmp_path / "x.lab")
+    with open(p, "w") as f:
+        f.write("1000000 500000 xx^sil-a+b=c@1_2\n")    # ends before start
+    with pytest.raises(ValueError, match="ends before"):
+        read_hts_label(p)
+
+
+def test_label_zero_length_dropped(tmp_path):
+    p = str(tmp_path / "x.lab")
+    with open(p, "w") as f:
+        f.write("0 1000000 xx^sil-a+b=c@1_2\n")
+        f.write("1000000 1000000 sil^a-b+c=xx@1_2\n")   # zero-length
+        f.write("1000000 2000000 a^b-c+d=e@1_2\n")
+    phones = read_hts_label(p)
+    assert [s.phone for s in phones] == ["a", "c"]
+
+
+def test_label_silence_gaps_allowed(tmp_path):
+    # gaps between rows (un-labelled silence) are legitimate, only overlaps
+    # are corrupt
+    p = str(tmp_path / "x.lab")
+    with open(p, "w") as f:
+        f.write("0 1000000 xx^sil-a+b=c@1_2\n")
+        f.write("2000000 3000000 sil^a-b+c=xx@1_2\n")
+    assert len(read_hts_label(p)) == 2
+
+
+def test_label_missing_quinphone_fields(tmp_path):
+    # triphone-only and bare-phone model names back off instead of failing
+    p = str(tmp_path / "x.lab")
+    with open(p, "w") as f:
+        f.write("0 1000000 sil-a+b\n")       # triphone
+        f.write("1000000 2000000 b\n")       # bare phone
+    phones = read_hts_label(p)
+    assert phones[0].phone == "a"
+    assert phones[0].quinphone == ("xx", "sil", "a", "b", "xx")
+    assert phones[1].phone == "b"
+    assert phones[1].quinphone == ("xx", "xx", "b", "xx", "xx")
