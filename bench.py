@@ -1322,7 +1322,11 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--stream-chunk", type=int, default=32,
                     help="epoch units per streaming chunk")
-    ap.add_argument("--oracle-rows", type=int, default=160)
+    ap.add_argument("--oracle-rows", type=int, default=1024,
+                    help="held-out rows for the float64-oracle gate "
+                         "(VERDICT r3 weak #3: 160 was thin vs the 65k-row "
+                         "decode it certifies; ids are memoised so the cost "
+                         "is one cold host run)")
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--rebuild", action="store_true",
                     help="rebuild cached bench voices")

@@ -73,10 +73,16 @@ JOIN_CONTEXT_FRAMES = 1
 PRESELECT_MARGIN = 10
 
 # split3cat concentrates all three bf16 product terms into ONE MXU pass and
-# is the production speed mode; round 3 measured its broad-gate agreement
-# vs exact f32 at raw 0.9192 / tie-adjusted 0.9799 with margin 10 — real
-# rank slips past k+10 under ~1e-3 score noise on near-duplicate-dense DBs.
-# Round 4 sweeps the margin at the 1M-unit voice (scripts/exp_fidelity.py)
-# and pins the smallest value that passes the >=0.99 tie-adjusted bar with
-# worst per-utterance f64 path-cost gap <= 1e-6; see ROADMAP.md.
-PRESELECT_MARGIN_SPLIT3CAT = 34
+# is the production speed mode.  Round-4 sweep at the 1.05M-unit voice
+# (scripts/exp_fidelity.py, 65k decoded rows vs exact f32, zero-transient
+# operand): margin 10 -> tie-adjusted 0.99991 / worst f64 path-cost gap
+# 2.6e-4 @ 975 ms/step; margin 18 -> 0.99998 / 2.3e-5 @ 1006 ms (+3.2%,
+# matching split3's broad-gate numbers exactly); margin 34 -> identical to
+# 18 @ 1076 ms.  18 is the knee — the residual gap is shared with split3
+# (same bf16 hi/lo representation, see ROADMAP.md), not a rank-margin
+# artefact, so paying for 34 buys nothing.  NOTE: these numbers hold for
+# the ZERO-TRANSIENT operand form (in-kernel bf16 split); the materialised
+# HBM operand form was measured raw 0.92 at ANY margin (10/18/34/66) —
+# scrambled rows at the Pallas parameter boundary, not ranking noise — and
+# is no longer reachable by default (ops.topk.zero_transient_default).
+PRESELECT_MARGIN_SPLIT3CAT = 18

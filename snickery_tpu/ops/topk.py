@@ -65,10 +65,18 @@ def zero_transient_default(use_pallas: bool, mm_precision: str) -> bool:
     derived DB operand in HBM)?  Callers may override via their
     ``zero_transient`` static arg (-1 = this policy, 0 = off, 1 = on).
 
-    split3cat included: measured on the 1M-unit bench voice (round 4,
-    scripts/exp_fidelity.py), the in-kernel bf16 split + lane-concat form
-    is within noise of the materialised-operand form (see ROADMAP.md), so
-    the speed mode gets the ~20M-unit single-chip capacity for free.
+    ON for every precision including split3cat since round 4.  Measured on
+    the 1.05M-unit bench voice through the production batched step
+    (scripts/exp_fidelity.py, B=32 x T=2048, 65k decoded rows vs exact
+    f32): the in-kernel bf16 split + lane-concat form costs the SAME step
+    time as the materialised HBM operand (975.3 vs 973.7 ms at margin 10)
+    AND fixes the round-3 broad-gate fidelity miss — raw agreement 0.9998
+    vs 0.9192, because the materialised bf16 concat operand reaches the
+    kernel with scrambled rows (the same bf16-parameter-boundary pathology
+    recorded in split3cat_db's docstring, in milder form: margin sweeps
+    10->66 moved raw agreement only 0.919->0.928, which rank noise cannot
+    explain).  The speed mode therefore also gets the ~20M-unit single-chip
+    capacity for free.  See ROADMAP.md round-4 notes.
     """
     return use_pallas
 
