@@ -41,6 +41,13 @@ class SnickeryConfig:
     # ---- unit type ----
     target_representation: str = "epoch"   # "epoch" | "halfphone" | "sample"
     multiepoch: int = 1                     # units span k epochs/frames (k>=1)
+    join_context_frames: int = 1            # feature frames per join context
+                                            # (epoch mode; wider contexts make
+                                            # the join cost prefer smoother
+                                            # transitions — requires
+                                            # multiepoch >= this, because the
+                                            # device layout derives contexts
+                                            # from the raw unit rows)
     sample_hop: int = 80                    # frame hop for "sample" units (samples)
 
     # ---- selection ----
@@ -130,6 +137,20 @@ class SnickeryConfig:
             raise ValueError(f"unknown target_representation {self.target_representation!r}")
         if self.multiepoch < 1:
             raise ValueError("multiepoch must be >= 1")
+        if self.join_context_frames < 1:
+            raise ValueError("join_context_frames must be >= 1")
+        if self.join_context_frames > 1:
+            if self.target_representation == "halfphone":
+                raise ValueError(
+                    "join_context_frames > 1 is epoch-mode only (halfphone "
+                    "target rows are [first, mid, last] frames, not "
+                    "contiguous speech)")
+            if self.join_context_frames > self.multiepoch:
+                raise ValueError(
+                    f"join_context_frames ({self.join_context_frames}) must "
+                    f"be <= multiepoch ({self.multiepoch}): the device "
+                    "layout derives join contexts from the raw unit rows, "
+                    "which hold multiepoch frames")
         if self.n_candidates < 1:
             raise ValueError("n_candidates must be >= 1")
         if self.preselection_method not in (

@@ -384,7 +384,13 @@ class Synthesiser:
 
         # per-dim weights; target features stack k frames -> tile weights
         w_t = np.tile(_stream_weight_vector(cfg, cfg.target_stream_weights), k)
-        w_j = _stream_weight_vector(cfg, cfg.join_stream_weights)
+        if db.join_dim % d != 0:
+            raise ValueError(
+                f"DB join dim {db.join_dim} is not a multiple of stream dim {d}")
+        # join contexts span join_context_frames frames (DB-derived: the DB
+        # was built with some jcf and its join_dim records it)
+        w_j = np.tile(_stream_weight_vector(cfg, cfg.join_stream_weights),
+                      db.join_dim // d)
         if db.target_dim != k * d:
             raise ValueError(
                 f"DB target dim {db.target_dim} != frames_per_unit {k} * stream dim {d}")

@@ -46,12 +46,21 @@ class UtteranceData:
 
 
 def _epoch_units(
-    utt: UtteranceData, k: int
+    utt: UtteranceData, k: int, jcf: int = 1
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Cut one utterance into multiepoch units.
 
-    Returns (target_feats (n,k*d), join_left (n,d), join_right (n,d),
-    cutpoints (n,3), lf0 (n,k)).
+    Returns (target_feats (n,k*d), join_left (n,jcf*d), join_right
+    (n,jcf*d), cutpoints (n,3), lf0 (n,k)).
+
+    ``jcf`` (config ``join_context_frames``, requires ``jcf <= k``): join
+    contexts span the unit's first ``jcf`` frames / the ``jcf`` frames after
+    its last centre epoch.  The natural-zero-join invariant holds at any
+    width: unit i+1 starts at epoch ``ends[i]+1``, so for corpus-consecutive
+    units ``join_right[i] == join_left[i+1]`` frame for frame (both clamped
+    identically near the utterance end) — and ``join_left`` stays a prefix
+    of the unit's own target row, which the raw device layout
+    (voicedb.device_layout) requires.
     """
     E, d = utt.features.shape
     # centre epochs need a predecessor and successor epoch for the fragment,
@@ -61,14 +70,17 @@ def _epoch_units(
     n = (last_centre - first_centre + 1) // k
     if n <= 0:
         z = np.zeros
-        return (z((0, k * d), np.float32), z((0, d), np.float32),
-                z((0, d), np.float32), z((0, 3), np.int64), z((0, k), np.float32))
+        return (z((0, k * d), np.float32), z((0, jcf * d), np.float32),
+                z((0, jcf * d), np.float32), z((0, 3), np.int64), z((0, k), np.float32))
     starts = first_centre + np.arange(n) * k             # first centre epoch
     ends = starts + k - 1                                # last centre epoch
     idx = starts[:, None] + np.arange(k)[None, :]        # (n, k)
     target = utt.features[idx].reshape(n, k * d).astype(np.float32)
-    join_left = utt.features[starts].astype(np.float32)
-    join_right = utt.features[np.minimum(ends + 1, E - 1)].astype(np.float32)
+    jspan = np.arange(jcf)[None, :]
+    jl_idx = np.minimum(starts[:, None] + jspan, E - 1)  # (n, jcf)
+    jr_idx = np.minimum(ends[:, None] + 1 + jspan, E - 1)
+    join_left = utt.features[jl_idx].reshape(n, jcf * d).astype(np.float32)
+    join_right = utt.features[jr_idx].reshape(n, jcf * d).astype(np.float32)
     cut = np.stack(
         [utt.epochs[starts - 1], utt.epochs[starts], utt.epochs[np.minimum(ends + 1, E - 1)]],
         axis=1,
@@ -155,7 +167,7 @@ def build_voicedb(cfg: SnickeryConfig, utterances: list[UtteranceData]) -> Voice
             t, jl, jr, cut, lf0, code, ctx = _halfphone_units(
                 utt, unit_vocab, phone_vocab, cfg.sample_rate)
         else:
-            t, jl, jr, cut, lf0 = _epoch_units(utt, k)
+            t, jl, jr, cut, lf0 = _epoch_units(utt, k, cfg.join_context_frames)
             code = np.zeros(len(t), np.int32)
             ctx = np.zeros((len(t), 5), np.int32)
         n = len(t)

@@ -434,3 +434,60 @@ def test_halfphone_fallback_keeps_f32_precision():
     assert ids_dev[0] == 9, f"same-name unit must win step 0, got {ids_dev[0]}"
     assert ids_dev[1] == 5, f"best fallback must win step 1, got {ids_dev[1]}"
     np.testing.assert_array_equal(ids_dev, ids_ref)
+
+
+def test_wide_join_context_voice():
+    """join_context_frames=2 (round 4): join contexts span 2 epoch frames.
+
+    Invariants: join dims double; join_left stays a prefix of the unit's own
+    target row (required by the raw device layout, verified at Synthesiser
+    init); corpus-consecutive units still have bit-equal jr[i] == jl[i+1]
+    (the zero-cost natural path); a natural target still resynthesises its
+    training utterance through overwhelmingly natural continuations; and the
+    oracle agrees with the device pipeline at the wider dj."""
+    from tests.toyvoice import SR, prepare_toy_utts, synth_utterance, toy_config
+    from snickery_tpu.features.epochs import detect_epochs
+    from snickery_tpu.features.magphase import magphase_analysis
+    from snickery_tpu.voicedb.build import build_voicedb
+
+    cfg = toy_config(multiepoch=2, join_context_frames=2)
+    utts = prepare_toy_utts(3)
+    db = build_voicedb(cfg, utts)
+    d = cfg.target_dim
+    assert db.join_dim == 2 * d
+    assert db.target_dim == 2 * d
+    np.testing.assert_array_equal(db.join_left, db.unit_features[:, : 2 * d])
+    # zero-cost natural path: consecutive units of one utterance share
+    # bit-equal join contexts across the full 2-frame width
+    same_utt = (db.utt_index[1:] == db.utt_index[:-1]) & (
+        db.unit_pos[1:] == db.unit_pos[:-1] + 1)
+    assert same_utt.sum() > 50
+    np.testing.assert_array_equal(db.join_right[:-1][same_utt],
+                                  db.join_left[1:][same_utt])
+
+    synth = Synthesiser(cfg, db=db)
+    utt = utts[0]
+    result = synth.synth_from_features(utt.features)
+    ids = result["unit_ids"]
+    pos = db.unit_pos[ids]
+    assert (np.diff(pos) == 1).mean() > 0.8, "natural continuation broke"
+
+    # held-out target: device pipeline vs float64 oracle at dj = 2*d
+    wave, _ = synth_utterance(901, n_segments=6)
+    epochs = detect_epochs(wave, SR, use_native=False)
+    streams = magphase_analysis(wave, epochs, SR)
+    feats = np.concatenate([streams[s] for s in cfg.stream_list], axis=1)
+    tgt, n = synth.targets_from_features(feats)
+    r = synth.synth_from_features(feats)
+    tw = (((tgt - db.mean_target) / db.std_target)
+          * synth._sqrt_wt[None, :]).astype(np.float32)
+    feats_w = (db.normalised_features().astype(np.float32)
+               * synth._sqrt_wt[None, :])
+    jl, jr = db.normalised_joins()
+    jl = (jl * synth._sqrt_wj[None, :]).astype(np.float32)
+    jr = (jr * synth._sqrt_wj[None, :]).astype(np.float32)
+    ids_ref, _ = oracle.synth_pipeline(
+        tw, feats_w, jl, jr, n_candidates=cfg.n_candidates,
+        join_cost_weight=cfg.join_cost_weight)
+    agree = (r["unit_ids"] == ids_ref).mean()
+    assert agree >= 0.99, f"agreement {agree} at join_context_frames=2"
