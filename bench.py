@@ -825,6 +825,18 @@ def run_quality_mode(args, extra: dict, synth_1m=None):
             eval_voice("bench1m", synth_1m)
         finally:
             synth_1m.cfg.length_buckets = old
+
+    # multiepoch=2 voice, when the me2 mode already built it: the measured
+    # answer to the round-3 join-flux plateau (half the joins, each at a
+    # pitch-period boundary -> flux ~1.0 vs ~1.4; ARCHITECTURE.md quality
+    # matrix) — keep the datapoint fresh in every round's record
+    me2_dir = os.path.join(cache_dir(), "bench1m_me2.voicedb")
+    if os.path.isdir(me2_dir) and not over_budget(90.0):
+        from snickery_tpu.voicedb.db import VoiceDB
+        cfg_me2 = bench_config(voice_name="bench1m_me2", multiepoch=2,
+                               length_buckets=[512])
+        eval_voice("bench1m_me2",
+                   Synthesiser(cfg_me2, db=VoiceDB.load(me2_dir)))
     extra["quality_trend"] = trend
 
 
