@@ -224,3 +224,83 @@ def test_waves_dtype_int16(epoch_voice):
     np.testing.assert_array_equal(r32["unit_ids"], r16["unit_ids"])
     q = float(np.abs(np.asarray(db.waves)).max()) / 32767.0
     np.testing.assert_allclose(r32["wave"], r16["wave"], atol=2 * q)
+
+
+# ------------------------------------------------------ round-4 knobs:
+# preselect_margin / zero_transient / join_context_frames all change the
+# compiled program (repo convention: every accepted key changes behaviour)
+
+def _pipeline_jaxpr(margin, zero_transient):
+    """Trace synth_pipeline_step on a tiny synthetic voice at the given
+    knobs (Pallas in interpret mode — tracing only, nothing executes)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_voice
+    from snickery_tpu.synth import DeviceDB, synth_pipeline_step
+    from snickery_tpu.voicedb.device_layout import build_raw_blocks
+
+    m, d, t, n_cand = 4096, 64, 256, 16
+    feats, jr, cut1, cut2, waves, mean, std, sqrt_w = _synthetic_voice(m, d, n_cand)
+    raw_block, _, _ = build_raw_blocks(feats, jr, m, ndb=1)
+    db = DeviceDB(
+        raw=jnp.asarray(raw_block), n_real=jnp.int32(m),
+        cut1=jnp.asarray(cut1), cut2=jnp.asarray(cut2),
+        waves=jnp.asarray(waves), wave_scale=jnp.float32(1.0),
+        mean_t=jnp.asarray(mean), std_t=jnp.asarray(std),
+        sqrt_wt=jnp.asarray(sqrt_w),
+        mean_j=jnp.asarray(mean), std_j=jnp.asarray(std),
+        sqrt_wj=jnp.asarray(sqrt_w),
+        codes=jnp.zeros((m,), jnp.int32), ctx=jnp.zeros((m, 5), jnp.int32),
+        vids=jnp.zeros((m,), jnp.int32))
+    fn = functools.partial(
+        synth_pipeline_step, n_cand=n_cand, chunk=512, greedy=False,
+        halfphone=False, max_frag=512, out_len=256 * 161, taper=32,
+        use_pallas=True, pallas_interpret=True,
+        margin=margin, zero_transient=zero_transient)
+    targets = jnp.zeros((t, d), jnp.float32)
+    return str(jax.make_jaxpr(lambda *a: fn(*a))(
+        db, targets, jnp.int32(t), jnp.zeros((t,), jnp.int32),
+        jnp.zeros((t, 5), jnp.int32), jnp.zeros((t,), jnp.int32),
+        jnp.float32(0.7), jnp.float32(0.0)))
+
+
+def test_preselect_margin_changes_pool_width():
+    # n_cand=16: margin 3 -> the rescore gather runs at k_sel=19 slots
+    j3 = _pipeline_jaxpr(margin=3, zero_transient=1)
+    j0 = _pipeline_jaxpr(margin=0, zero_transient=1)
+    assert "256,19,65" in j3.replace(" ", "")   # (T, k_sel, kd+1) gather
+    assert "256,19,65" not in j0.replace(" ", "")
+    assert "256,16,65" in j0.replace(" ", "")
+
+
+def test_zero_transient_changes_kernel_operand():
+    # zt on: the kernel consumes the raw block incl. its exception tail
+    # (q > m rows) and the bf16-concat targets; zt off: a derived
+    # (m, kd)-shaped operand is materialised (kd=64 -> split3cat concat
+    # pads 3*64=192 lanes to 256)
+    jz = _pipeline_jaxpr(margin=0, zero_transient=1)
+    jm = _pipeline_jaxpr(margin=0, zero_transient=0)
+    assert jz != jm
+    # zt prescales targets and pads the zero pointer column -> a
+    # (T, kd+1) target operand exists only in the zero-transient program
+    assert "f32[256,65]" in jz.replace(" ", "")
+    assert "f32[256,65]" not in jm.replace(" ", "")
+
+
+def test_zero_transient_config_key_flows():
+    cfg = SnickeryConfig(stream_list=["mag"], datadims={"mag": 4},
+                         zero_transient=0, preselect_margin=7)
+    assert cfg.zero_transient == 0 and cfg.preselect_margin == 7
+
+
+def test_join_context_frames_validation():
+    with pytest.raises(ValueError, match="multiepoch"):
+        SnickeryConfig(stream_list=["mag"], datadims={"mag": 4},
+                       join_context_frames=2)
+    with pytest.raises(ValueError, match="epoch-mode"):
+        SnickeryConfig(stream_list=["mag"], datadims={"mag": 4},
+                       target_representation="halfphone",
+                       join_context_frames=2)
