@@ -266,3 +266,52 @@ def test_all_to_all_payload_matches_analytic_model(voice):
     rows = (B // 2) * T                       # n_data=2
     expect = rows * k * (5 * 4 + 2 * dj * 4)
     assert _trace_payload(synth, db, cfg, n_data=2, n_db=2, B=B, T=T) == expect
+
+
+def test_sharded_wide_join_context_matches_single_device():
+    """join_context_frames=2 through the sharded path: dj = 2d flows through
+    the raw-block exception machinery (jr rows are dj-wide in kd-wide block
+    rows), the candidate exchange, and the sub-batch decode — unit ids match
+    the single-device pipeline exactly."""
+    from tests.toyvoice import prepare_toy_utts, toy_config
+    from snickery_tpu.voicedb.build import build_voicedb
+
+    cfg = toy_config(multiepoch=2, join_context_frames=2)
+    utts = prepare_toy_utts(3)
+    db = build_voicedb(cfg, utts)
+    synth = Synthesiser(cfg, db=db)
+    assert db.join_dim == 2 * cfg.target_dim
+
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    blocks, cut1, cut2, mp = _sharded_arrays(synth, db, 2)
+    ddb = synth.device_db
+    sv = shard_voice(
+        mesh, blocks, cut1, cut2, db.waves.astype(np.float32),
+        np.asarray(ddb.mean_t), np.asarray(ddb.std_t), np.asarray(ddb.sqrt_wt),
+        np.asarray(ddb.mean_j), np.asarray(ddb.std_j), np.asarray(ddb.sqrt_wj),
+        n_real=np.int32(db.n_units))
+
+    B, T = 4, 128
+    tgts = np.zeros((B, T, db.target_dim), np.float32)
+    lengths = np.zeros(B, np.int32)
+    singles = []
+    for b in range(B):
+        utt = utts[b % len(utts)]
+        tu, n = synth.targets_from_features(utt.features)
+        n = min(n, T)
+        tgts[b, :n] = tu[:n]
+        lengths[b] = n
+        singles.append(synth.synth_from_features(utt.features))
+
+    out_len = utils.next_multiple(T * synth.max_span + 2 * cfg.taper_length, 128)
+    unit_ids, costs, audio, totals = batched_synth_step(
+        sv, jnp.asarray(tgts), jnp.asarray(lengths),
+        jnp.float32(cfg.join_cost_weight), jnp.float32(cfg.search_epsilon),
+        mesh=mesh, n_cand=min(cfg.n_candidates, mp),
+        chunk=synth.chunk, max_frag=synth.max_frag, out_len=out_len,
+        taper=cfg.taper_length)
+    unit_ids = np.asarray(unit_ids)
+    for b in range(B):
+        n = lengths[b]
+        agree = (unit_ids[b, :n] == singles[b]["unit_ids"][:n]).mean()
+        assert agree >= 0.99, f"utt {b}: agreement {agree} at dj=2d"
