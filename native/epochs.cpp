@@ -12,9 +12,11 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -214,6 +216,50 @@ int snickery_detect_epochs_batch(const float* waves, const int64_t* offsets,
     out_counts[u] = cnt;
   }
   return 0;
+}
+
+// Multithreaded batch variant: utterances are independent, so the batch is
+// carved over a work-stealing atomic index.  Per-utterance output is
+// bit-identical to the serial entry (same scalar routine, disjoint output
+// slices).  n_threads <= 1 falls through to the serial loop; errors from any
+// worker (cnt < 0) fail the whole call, matching the serial contract.
+int snickery_detect_epochs_batch_mt(const float* waves, const int64_t* offsets,
+                                    int n_utts, int sr, float fmin, float fmax,
+                                    float unvoiced_period_sec,
+                                    int32_t* out_marks,
+                                    const int64_t* out_offsets_capacity,
+                                    int32_t* out_counts, int n_threads) {
+  if (n_threads <= 1 || n_utts <= 1)
+    return snickery_detect_epochs_batch(waves, offsets, n_utts, sr, fmin, fmax,
+                                        unvoiced_period_sec, out_marks,
+                                        out_offsets_capacity, out_counts);
+  if (n_threads > n_utts) n_threads = n_utts;
+  std::atomic<int> next(0);
+  std::atomic<bool> failed(false);
+  auto worker = [&]() {
+    for (;;) {
+      int u = next.fetch_add(1, std::memory_order_relaxed);
+      if (u >= n_utts || failed.load(std::memory_order_relaxed)) return;
+      const float* w = waves + offsets[u];
+      int n = (int)(offsets[u + 1] - offsets[u]);
+      int cap = (int)(out_offsets_capacity[u + 1] - out_offsets_capacity[u]);
+      int cnt = snickery_detect_epochs(w, n, sr, fmin, fmax,
+                                       unvoiced_period_sec,
+                                       out_marks + out_offsets_capacity[u],
+                                       cap);
+      if (cnt < 0) {
+        failed.store(true, std::memory_order_relaxed);
+        return;
+      }
+      out_counts[u] = cnt;
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads - 1);
+  for (int t = 0; t < n_threads - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return failed.load() ? -1 : 0;
 }
 
 }  // extern "C"

@@ -32,7 +32,7 @@ setup(
         Extension(
             "snickery_tpu.native._libsnickery_native",
             sources=["native/epochs.cpp"],
-            extra_compile_args=["-O3", "-std=c++17", "-fPIC"],
+            extra_compile_args=["-O3", "-std=c++17", "-fPIC", "-pthread"],
             language="c++",
         )
     ],

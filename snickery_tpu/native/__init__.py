@@ -96,6 +96,15 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             _i32p, _i64p, _i32p,
         ]
+        if hasattr(lib, "snickery_detect_epochs_batch_mt"):
+            # multithreaded batch entry (newer library builds only; the
+            # serial symbol remains the fallback for stale .so files)
+            lib.snickery_detect_epochs_batch_mt.restype = ctypes.c_int
+            lib.snickery_detect_epochs_batch_mt.argtypes = [
+                _f32p, _i64p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                _i32p, _i64p, _i32p, ctypes.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -126,7 +135,7 @@ def native_detect_epochs(
 
 def native_detect_epochs_batch(
     waves: list, sr: int, fmin: float = 50.0, fmax: float = 400.0,
-    unvoiced_period_sec: float = 0.005,
+    unvoiced_period_sec: float = 0.005, n_threads: int | None = None,
 ) -> list | None:
     """Whole-corpus epoch detection in ONE foreign call.
 
@@ -136,6 +145,13 @@ def native_detect_epochs_batch(
     bench VM).  Per-utterance results are bit-identical to
     :func:`native_detect_epochs` (the batch entry loops the same C scalar
     routine; the same np.unique post-pass is applied here).
+
+    ``n_threads``: worker threads for the C++ side (utterances are
+    independent; per-utterance output is bit-identical at any count).
+    ``None`` = one per CPU (``SNICKERY_EPOCH_THREADS`` overrides).  The GIL
+    is released for the duration of the foreign call, so on multi-core
+    deployment hosts the corpus pass scales near-linearly; on this repo's
+    single-core bench VM the MT entry simply degrades to the serial loop.
     Returns None if the native lib is unavailable.
     """
     lib = get_lib()
@@ -144,6 +160,9 @@ def native_detect_epochs_batch(
     n_utts = len(waves)
     if n_utts == 0:
         return []
+    if n_threads is None:
+        n_threads = int(os.environ.get("SNICKERY_EPOCH_THREADS",
+                                       os.cpu_count() or 1))
     offsets = np.zeros(n_utts + 1, dtype=np.int64)
     for i, w in enumerate(waves):
         offsets[i + 1] = offsets[i] + len(w)
@@ -155,12 +174,20 @@ def native_detect_epochs_batch(
         caps[i + 1] = caps[i] + _max_marks(len(w), sr, unvoiced_period_sec)
     marks = np.zeros(int(caps[-1]), dtype=np.int32)
     counts = np.zeros(n_utts, dtype=np.int32)
-    rc = lib.snickery_detect_epochs_batch(
-        buf.ctypes.data_as(_f32p), offsets.ctypes.data_as(_i64p),
-        n_utts, int(sr), float(fmin), float(fmax),
-        float(unvoiced_period_sec),
-        marks.ctypes.data_as(_i32p), caps.ctypes.data_as(_i64p),
-        counts.ctypes.data_as(_i32p))
+    if hasattr(lib, "snickery_detect_epochs_batch_mt"):
+        rc = lib.snickery_detect_epochs_batch_mt(
+            buf.ctypes.data_as(_f32p), offsets.ctypes.data_as(_i64p),
+            n_utts, int(sr), float(fmin), float(fmax),
+            float(unvoiced_period_sec),
+            marks.ctypes.data_as(_i32p), caps.ctypes.data_as(_i64p),
+            counts.ctypes.data_as(_i32p), max(1, int(n_threads)))
+    else:
+        rc = lib.snickery_detect_epochs_batch(
+            buf.ctypes.data_as(_f32p), offsets.ctypes.data_as(_i64p),
+            n_utts, int(sr), float(fmin), float(fmax),
+            float(unvoiced_period_sec),
+            marks.ctypes.data_as(_i32p), caps.ctypes.data_as(_i64p),
+            counts.ctypes.data_as(_i32p))
     if rc < 0:
         return None
     return [np.unique(marks[caps[i]: caps[i] + counts[i]])

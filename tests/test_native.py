@@ -50,3 +50,18 @@ def test_detect_epochs_batch_dispatches_native(toy_wave):
     direct = native_detect_epochs_batch(waves, sr)
     for a, b in zip(via_dispatch, direct):
         np.testing.assert_array_equal(a, b)
+
+
+def test_batch_mt_bit_identical_any_thread_count(toy_wave, rng):
+    """The multithreaded batch entry writes disjoint output slices with the
+    same scalar routine, so results are bit-identical at every thread count
+    (including counts above the utterance count and above the core count)."""
+    wave, sr = toy_wave
+    waves = [wave, wave[: len(wave) // 2], wave[: len(wave) // 3],
+             rng.standard_normal(sr // 2).astype(np.float32) * 0.1]
+    serial = native_detect_epochs_batch(waves, sr, n_threads=1)
+    assert serial is not None
+    for nt in (2, 4, 16):
+        mt = native_detect_epochs_batch(waves, sr, n_threads=nt)
+        for a, b in zip(serial, mt):
+            np.testing.assert_array_equal(a, b)
