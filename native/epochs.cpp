@@ -79,6 +79,15 @@ struct F0Track {
   int frame = 0;
 };
 
+// Frame-based f0 by normalised autocorrelation, two-stage: a COARSE pass on a
+// decimated copy of the (already 1 kHz-low-passed) frame locates the
+// autocorrelation peak at ~1/D² of the full cost, then a REFINE pass
+// evaluates the exact full-rate autocorrelation only in a ±D-lag window
+// around the coarse peak (plus one lag each side for the parabolic
+// interpolation).  Decimating a 1 kHz-band signal to sr/D >= 4 kHz loses no
+// usable correlation structure, and the pitch-synchronous peak-picking that
+// consumes these f0 values tolerates far more than the coarse pass's worst
+// peak-localisation error (the pick window spans ±25% of a period).
 F0Track track_f0(const std::vector<float>& x, int n, double sr, double fmin,
                  double fmax, double frame_sec, double hop_sec,
                  double voicing_threshold) {
@@ -89,7 +98,20 @@ F0Track track_f0(const std::vector<float>& x, int n, double sr, double fmin,
   int lag_max = std::min(tr.frame - 1, (int)(sr / fmin));
   int n_frames = std::max(1, (n - tr.frame) / tr.hop + 1);
   tr.f0.assign(n_frames, 0.0f);
+
+  // decimation factor: keep the decimated rate >= 4 kHz (4x the 1 kHz
+  // low-pass cutoff) and the decimated minimum lag >= 4 so the coarse peak
+  // is localised to within one decimated sample
+  int D = 1;
+  while (sr / (D * 2) >= 4000.0 && lag_min / (D * 2) >= 4) D *= 2;
+
+  int frame_d = tr.frame / std::max(D, 1);
+  int lag_min_d = std::max(1, lag_min / D);
+  int lag_max_d = std::min(frame_d - 1, lag_max / D);
+
   std::vector<double> seg(tr.frame);
+  std::vector<double> seg_d(frame_d);
+  std::vector<double> ac(lag_max + 1, 0.0);
   for (int fi = 0; fi < n_frames; ++fi) {
     const float* s = x.data() + fi * tr.hop;
     double mean = 0.0;
@@ -101,10 +123,36 @@ F0Track track_f0(const std::vector<float>& x, int n, double sr, double fmin,
       denom += seg[i] * seg[i];
     }
     if (denom < 1e-10) continue;
+
+    int lo = lag_min, hi = lag_max;  // refine window (full range when D==1)
+    if (D > 1 && lag_max_d >= lag_min_d) {
+      double mean_d = 0.0;
+      for (int i = 0; i < frame_d; ++i) mean_d += s[i * D];
+      mean_d /= frame_d;
+      double denom_d = 0.0;
+      for (int i = 0; i < frame_d; ++i) {
+        seg_d[i] = s[i * D] - mean_d;
+        denom_d += seg_d[i] * seg_d[i];
+      }
+      if (denom_d < 1e-10) continue;
+      int best_d = -1;
+      double best_vd = -1.0;
+      for (int lag = lag_min_d; lag <= lag_max_d; ++lag) {
+        double acc = 0.0;
+        for (int i = 0; i + lag < frame_d; ++i) acc += seg_d[i] * seg_d[i + lag];
+        if (acc > best_vd) {
+          best_vd = acc;
+          best_d = lag;
+        }
+      }
+      if (best_d < 0) continue;
+      lo = std::max(lag_min, best_d * D - D - 1);
+      hi = std::min(lag_max, best_d * D + D + 1);
+    }
+
     int best_lag = -1;
     double best_val = -1.0;
-    std::vector<double> ac(lag_max + 1, 0.0);
-    for (int lag = lag_min; lag <= lag_max; ++lag) {
+    for (int lag = lo; lag <= hi; ++lag) {
       double acc = 0.0;
       for (int i = 0; i + lag < tr.frame; ++i) acc += seg[i] * seg[i + lag];
       ac[lag] = acc / denom;
@@ -115,7 +163,7 @@ F0Track track_f0(const std::vector<float>& x, int n, double sr, double fmin,
     }
     if (best_lag > 0 && best_val >= voicing_threshold) {
       double lag = best_lag;
-      if (best_lag > lag_min && best_lag < lag_max) {
+      if (best_lag > lo && best_lag < hi) {
         double y0 = ac[best_lag - 1], y1 = ac[best_lag], y2 = ac[best_lag + 1];
         double d2 = y0 - 2.0 * y1 + y2;
         if (std::fabs(d2) > 1e-12) lag = best_lag + 0.5 * (y0 - y2) / d2;

@@ -48,24 +48,57 @@ def track_f0_autocorr(
     n_frames = max(1, (len(x) - frame) // hop + 1)
     f0 = np.zeros(n_frames, dtype=np.float32)
     centers = np.zeros(n_frames, dtype=np.int64)
+
+    # Two-stage search (mirrors native/epochs.cpp track_f0): a coarse pass on
+    # a decimated copy of the 1 kHz-low-passed frame locates the
+    # autocorrelation peak at ~1/D² of the full cost, then the exact
+    # full-rate autocorrelation is evaluated only in a ±D-lag window around
+    # it.  Decimating to >= 4 kHz loses no usable correlation structure for
+    # a 1 kHz-band signal.
+    D = 1
+    while sr / (D * 2) >= 4000.0 and lag_min // (D * 2) >= 4:
+        D *= 2
+    frame_d = frame // D
+    lag_min_d = max(1, lag_min // D)
+    lag_max_d = min(frame_d - 1, lag_max // D)
+
     for i in range(n_frames):
-        seg = x[i * hop: i * hop + frame]
+        seg = x[i * hop: i * hop + frame].astype(np.float64)
         centers[i] = i * hop + frame // 2
         seg = seg - seg.mean()
         denom = np.dot(seg, seg)
         if denom < 1e-10:
             continue
-        ac = sps.correlate(seg, seg, mode="full")[frame - 1:]
-        ac = ac / (denom + 1e-12)
-        window = ac[lag_min:lag_max + 1]
-        if window.size == 0:
-            continue
-        best = int(np.argmax(window))
-        if window[best] >= voicing_threshold:
-            lag = lag_min + best
+
+        lo, hi = lag_min, lag_max          # refine window (full when D == 1)
+        if D > 1 and lag_max_d >= lag_min_d:
+            seg_d = x[i * hop: i * hop + frame_d * D: D].astype(np.float64)
+            seg_d = seg_d - seg_d.mean()
+            if np.dot(seg_d, seg_d) < 1e-10:
+                continue
+            ac_d = sps.correlate(seg_d, seg_d, mode="full")[frame_d - 1:]
+            window_d = ac_d[lag_min_d:lag_max_d + 1]
+            if window_d.size == 0:
+                continue
+            best_d = lag_min_d + int(np.argmax(window_d))
+            lo = max(lag_min, best_d * D - D - 1)
+            hi = min(lag_max, best_d * D + D + 1)
+
+        if hi - lo > 32:
+            # wide window (D == 1 i.e. low sample rates): FFT correlation
+            ac = sps.correlate(seg, seg, mode="full")[frame - 1:]
+            ac = (ac / (denom + 1e-12))[lo:hi + 1]
+        else:
+            lags = np.arange(lo, hi + 1)
+            ac = np.array([np.dot(seg[: frame - lag], seg[lag:])
+                           for lag in lags])
+            ac = ac / (denom + 1e-12)
+        best = int(np.argmax(ac))
+        if ac[best] >= voicing_threshold:
+            lag = lo + best
             # parabolic interpolation around the peak for sub-sample accuracy
-            if 0 < best < window.size - 1:
-                y0, y1, y2 = window[best - 1], window[best], window[best + 1]
+            if 0 < best < ac.size - 1:
+                y0, y1, y2 = ac[best - 1], ac[best], ac[best + 1]
                 denom2 = y0 - 2 * y1 + y2
                 if abs(denom2) > 1e-12:
                     lag = lag + 0.5 * (y0 - y2) / denom2

@@ -144,6 +144,60 @@ class VoiceDB:
             kwargs[name] = np.load(p, mmap_mode=mode) if os.path.exists(p) else None
         return cls(**kwargs)
 
+    def tiled(self, times: int) -> "VoiceDB":
+        """Replicate the inventory ``times``-fold (capacity/perf testing).
+
+        Every per-unit and per-utterance array is tiled with utterance and
+        waveform indices shifted per replica, so the result is a fully
+        self-consistent VoiceDB whose decode path (raw device layout,
+        cutpoint fetches, natural-join detection) behaves exactly like a
+        corpus that genuinely contains ``times`` copies of every utterance.
+        Selection among replicas is tie-degenerate by construction (replica
+        rows are bit-identical), so this is ONLY for capacity and step-time
+        measurement, never for quality numbers.  Normalisation stats are
+        unchanged (the feature distribution is unchanged).
+        """
+        if times <= 1:
+            return self
+        n_files = len(self.filenames)
+        wave_len = int(self.wave_offsets[-1])
+        reps = range(times)
+
+        def tile_rows(a):
+            return None if a is None else np.concatenate([a] * times)
+
+        offsets = [np.asarray(self.wave_offsets[:1])] + [
+            np.asarray(self.wave_offsets[1:]) + r * wave_len for r in reps]
+        return VoiceDB(
+            sample_rate=self.sample_rate,
+            target_representation=self.target_representation,
+            multiepoch=self.multiepoch,
+            stream_list=list(self.stream_list),
+            datadims=dict(self.datadims),
+            filenames=[f"{f}~r{r}" for r in reps for f in self.filenames],
+            unit_names=list(self.unit_names),
+            phone_names=list(self.phone_names),
+            voice_names=list(self.voice_names),
+            unit_features=tile_rows(self.unit_features),
+            join_left=tile_rows(self.join_left),
+            join_right=tile_rows(self.join_right),
+            cutpoints=np.concatenate(
+                [self.cutpoints + r * wave_len for r in reps]),
+            utt_index=np.concatenate(
+                [self.utt_index + r * n_files for r in reps]),
+            unit_pos=tile_rows(self.unit_pos),
+            unit_code=tile_rows(self.unit_code),
+            context_codes=tile_rows(self.context_codes),
+            voice_ids=tile_rows(self.voice_ids),
+            unit_lf0=tile_rows(self.unit_lf0),
+            mean_target=self.mean_target,
+            std_target=self.std_target,
+            mean_join=self.mean_join,
+            std_join=self.std_join,
+            waves=np.concatenate([np.asarray(self.waves)] * times),
+            wave_offsets=np.concatenate(offsets),
+        )
+
     def summary(self) -> str:
         return (
             f"VoiceDB[{self.target_representation}] units={self.n_units} "

@@ -491,3 +491,37 @@ def test_wide_join_context_voice():
         join_cost_weight=cfg.join_cost_weight)
     agree = (r["unit_ids"] == ids_ref).mean()
     assert agree >= 0.99, f"agreement {agree} at join_context_frames=2"
+
+
+def test_tiled_voicedb_equivalent_decode(epoch_voice):
+    """VoiceDB.tiled(k) (capacity/perf testing): replicas are bit-identical,
+    so synthesis from the tiled DB must produce a unit sequence whose
+    per-unit FEATURES and the output waveform match the untiled decode
+    exactly (selected ids may point into any replica)."""
+    cfg, db, utts, synth = epoch_voice
+    db3 = db.tiled(3)
+    assert db3.n_units == 3 * db.n_units
+    assert len(db3.waves) == 3 * len(db.waves)
+    assert db3.wave_offsets[-1] == 3 * db.wave_offsets[-1]
+    # self-consistency: every replica's cutpoints land inside its wave copy
+    assert (db3.cutpoints[:, 1] < len(db3.waves)).all()
+    n = db.n_units
+    np.testing.assert_array_equal(np.asarray(db3.unit_features[n:2 * n]),
+                                  np.asarray(db.unit_features))
+
+    synth3 = Synthesiser(cfg, db=db3)
+    utt = utts[1]
+    a = synth.synth_from_features(utt.features)
+    b = synth3.synth_from_features(utt.features)
+    ids_a, ids_b = a["unit_ids"], b["unit_ids"]
+    base_b = ids_b % n
+    # replica rows are bit-identical -> tie-class (features+contexts) match
+    np.testing.assert_array_equal(
+        np.asarray(db.unit_features[ids_a]),
+        np.asarray(db3.unit_features[ids_b]))
+    np.testing.assert_array_equal(np.asarray(db.join_left[ids_a]),
+                                  np.asarray(db3.join_left[ids_b]))
+    # waveform fragments come from replicated corpus audio -> same output
+    np.testing.assert_allclose(a["wave"], b["wave"], atol=1e-5)
+    assert (np.asarray(db.cutpoints[base_b, 2] - db.cutpoints[base_b, 1])
+            == np.asarray(db3.cutpoints[ids_b, 2] - db3.cutpoints[ids_b, 1])).all()
