@@ -925,12 +925,28 @@ def run_capacity_mode(args, extra: dict):
     from snickery_tpu.voicedb.build import build_voicedb
 
     cfg = bench_config(voice_name="bench8m", preselect_precision="split3")
-    n_utts = args.cap_units // 767
 
-    db = get_voice(
-        "bench8m",
-        lambda: build_voicedb(cfg, make_corpus(n_utts, 40, 300_000, False)),
-        cfg, args.rebuild)
+    if args.cap_tile > 1:
+        # fast path: replicate the cached 1M bench voice in memory
+        # (VoiceDB.tiled — bit-identical replicas, so selection is
+        # tie-degenerate; valid for CAPACITY/STEP-TIME evidence only, and
+        # labelled as such in the result record)
+        from snickery_tpu.voicedb.db import VoiceDB
+        base_path = os.path.join(cache_dir(), "bench1m.voicedb")
+        if not os.path.isdir(base_path):
+            raise FileNotFoundError(
+                "--cap-tile needs the cached bench1m voice (run the epoch "
+                "mode first)")
+        t0 = time.time()
+        db = VoiceDB.load(base_path, mmap=False).tiled(args.cap_tile)
+        log(f"capacity: tiled bench1m x{args.cap_tile} -> {db.n_units} "
+            f"units in {time.time()-t0:.0f}s (host)")
+    else:
+        n_utts = args.cap_units // 767
+        db = get_voice(
+            "bench8m",
+            lambda: build_voicedb(cfg, make_corpus(n_utts, 40, 300_000, False)),
+            cfg, args.rebuild)
     t0 = time.time()
     synth = Synthesiser(cfg, db=db)
     synth.ensure_sharded()
@@ -1002,6 +1018,8 @@ def run_capacity_mode(args, extra: dict):
         "hbm_bytes_in_use_gb": hbm_gb,
         "agreement_split3_vs_highest": raw,
         "agreement_tie_adjusted": adj,
+        "inventory": (f"tiled_bench1m_x{args.cap_tile}" if args.cap_tile > 1
+                      else "real_corpus"),
     }
 
 
@@ -1323,6 +1341,12 @@ def main(argv=None) -> int:
     ap.add_argument("--cap-units", type=int, default=8_388_608,
                     help="capacity mode (--modes capacity, NOT default): "
                          "single-chip unit count for the zero-transient demo")
+    ap.add_argument("--cap-tile", type=int, default=8,
+                    help="capacity mode: replicate the cached bench1m voice "
+                         "N-fold in memory (VoiceDB.tiled) instead of the "
+                         "~1 h real corpus build; 0/1 = real build. "
+                         "Replicas are bit-identical so the agreement gate "
+                         "stays meaningful but quality numbers would not be")
     ap.add_argument("--hp-units", type=int, default=50_000)
     ap.add_argument("--mv-units", type=int, default=262_144)
     ap.add_argument("--mv-batch", type=int, default=64)
