@@ -924,7 +924,11 @@ def run_capacity_mode(args, extra: dict):
     from snickery_tpu.synth import Synthesiser
     from snickery_tpu.voicedb.build import build_voicedb
 
-    cfg = bench_config(voice_name="bench8m", preselect_precision="split3")
+    # int16 waves halve the one replicated device array (~96 dB SNR at the
+    # corpus peak); capacity mode is gated on unit agreement, not audio, and
+    # config #3 keeps the float32 default for the headline numbers
+    cfg = bench_config(voice_name="bench8m", preselect_precision="split3",
+                       waves_dtype="int16")
 
     if args.cap_tile > 1:
         # fast path: replicate the cached 1M bench voice in memory
@@ -947,6 +951,17 @@ def run_capacity_mode(args, extra: dict):
             "bench8m",
             lambda: build_voicedb(cfg, make_corpus(n_utts, 40, 300_000, False)),
             cfg, args.rebuild)
+    # HBM residency estimate: raw block (d+1 f32 cols/row) + int16 waves.
+    # When it crowds the 16 GiB chip, keep the corpus audio on host (the
+    # reference-paralleled preload_all_waves=False path: numpy OLA after
+    # decode) — the capacity ceiling under test is the UNIT DB, not audio.
+    import dataclasses as _dc
+    raw_gib = db.n_units * (db.target_dim + 1) * 4 / 2**30
+    waves_gib = len(db.waves) * 2 / 2**30
+    if raw_gib + waves_gib > 12.0:
+        cfg = _dc.replace(cfg, preload_all_waves=False)
+        log(f"capacity: est. raw {raw_gib:.1f} + waves {waves_gib:.1f} GiB "
+            "> 12 GiB -> preload_all_waves=False (host OLA)")
     t0 = time.time()
     synth = Synthesiser(cfg, db=db)
     synth.ensure_sharded()
@@ -1020,6 +1035,8 @@ def run_capacity_mode(args, extra: dict):
         "agreement_tie_adjusted": adj,
         "inventory": (f"tiled_bench1m_x{args.cap_tile}" if args.cap_tile > 1
                       else "real_corpus"),
+        "waves_dtype": cfg.waves_dtype,
+        "preload_all_waves": cfg.preload_all_waves,
     }
 
 

@@ -131,13 +131,20 @@ def _split3cat_targets(targets):
 
 
 def _compute_scores(mm_precision, has_part, has_ling, ling_weights, mask_col,
-                    tgt_ref, db_ref, sqn_ref,
+                    sqn_in_block, tgt_ref, db_ref, sqn_ref,
                     tpart_ref, dpart_ref, tling_ref, dling_ref):
     """Distance scores (CHUNK, T_TILE) for one (db-chunk, target-tile) pair:
     matmul + ||u||^2 constant + optional fused partition masks / quinphone
     penalties."""
     tgt = tgt_ref[:]                                   # (T_TILE, d)
     db = db_ref[:]                                     # (CHUNK, d)
+    if sqn_in_block:
+        # [data | sqn | ptr] blocks (build_raw_blocks(affine=...)): the
+        # precomputed ||u_norm||^2 column is sliced out of the block load
+        # BEFORE the lane mask below zeroes it — no separate HBM operand
+        # (whose trailing-singleton layout lane-pads 128x: the round-4
+        # capacity OOM) and no per-step fused reduce over the whole DB.
+        sq = db[:, mask_col:mask_col + 1]              # (CHUNK, 1)
     if mask_col is not None:
         # zero-transient mode: the operand is the resident RAW block whose
         # column ``mask_col`` carries int32 jr-exception pointer BITS
@@ -174,7 +181,9 @@ def _compute_scores(mm_precision, has_part, has_ling, ling_weights, mask_col,
             db, tgt, dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)        # (CHUNK, T_TILE)
-    s = sqn_ref[0] - 2.0 * cross                       # (CHUNK, 1) broadcasts
+    if not sqn_in_block:
+        sq = sqn_ref[0]                                # (CHUNK, 1)
+    s = sq - 2.0 * cross                               # (CHUNK, 1) broadcasts
     if has_part:
         # hard-restrict to matching partition (voice) ids: mismatches can
         # never be selected (inf never beats any kept value)
@@ -459,12 +468,18 @@ def _stream_select(fold, sv0, sc0, base_col, k, nb, block, t_tile):
 
 def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
                  has_ling: bool, ling_weights: tuple, mask_col,
-                 t_tile: int, chunk: int, block: int, db_major: bool,
-                 select: str, *refs):
+                 sqn_in_block: bool, t_tile: int, chunk: int, block: int,
+                 db_major: bool, select: str, *refs):
     nb = chunk // block
     refs = list(refs)
-    tgt_ref, db_ref, sqn_ref = refs[:3]
-    refs = refs[3:]
+    if sqn_in_block:
+        # no standalone sqn operand: ||u_norm||^2 rides in the db block
+        tgt_ref, db_ref = refs[:2]
+        sqn_ref = None
+        refs = refs[2:]
+    else:
+        tgt_ref, db_ref, sqn_ref = refs[:3]
+        refs = refs[3:]
     tpart_ref = dpart_ref = tling_ref = dling_ref = None
     if has_part:
         tpart_ref, dpart_ref = refs[:2]
@@ -499,7 +514,7 @@ def _topk_kernel(k: int, n_chunks: int, mm_precision: str, has_part: bool,
         state_cols[:, sl] = jnp.zeros((k, t_tile), jnp.int32)
 
     s = _compute_scores(mm_precision, has_part, has_ling, ling_weights,
-                        mask_col, tgt_ref, db_ref, sqn_ref,
+                        mask_col, sqn_in_block, tgt_ref, db_ref, sqn_ref,
                         tpart_ref, dpart_ref, tling_ref, dling_ref)
     base_col = j * chunk
 
@@ -739,10 +754,12 @@ def pallas_topk_preselect(
         # (zeros in the raw block) take the same 1e6-affine never-wins
         # sentinel sqn as the derived-operand path.
         assert db_affine is not None, "zero_transient requires db_affine"
-        from snickery_tpu.voicedb.device_layout import affine_rows
         am, astd, aw, n_real = db_affine
         kd = am.shape[0]
-        assert db.shape[1] == kd + 1, (db.shape, kd)
+        # width kd+2 = [data | sqn | ptr] (sqn baked at voice-prep by
+        # build_raw_blocks(affine=...)); kd+1 = legacy [data | ptr]
+        assert db.shape[1] in (kd + 1, kd + 2), (db.shape, kd)
+        has_sqn_col = db.shape[1] == kd + 2
         M = db.shape[0] if m_rows is None else m_rows
         assert M % chunk == 0, f"m_rows={M} must be a multiple of {chunk}"
         assert M <= db.shape[0], (M, db.shape)
@@ -750,18 +767,33 @@ def pallas_topk_preselect(
         scale = aw / astd
         t2 = targets * scale[None, :]
         comp = 2.0 * (t2 @ am)                               # (T,)
-        targets = jnp.pad(t2, ((0, 0), (0, 1)))              # zero ptr col
+        # zero target lanes matching the block's non-data tail (ptr, and
+        # sqn when baked) so the db block window can be FULL-width — a
+        # narrower (chunk, kd+1) window over a kd+2-wide array is not
+        # Mosaic-lowerable (block last-dims must divide (8,128) or equal
+        # the array dims)
+        targets = jnp.pad(t2, ((0, 0), (0, db.shape[1] - kd)))
         if mm_precision == "split3cat":
             # the DB side is split + lane-concatenated IN-KERNEL from the
             # raw block (see _compute_scores) — only the small target
             # operand is concatenated here
             targets = _split3cat_targets(targets)
-        valid = jnp.arange(M, dtype=jnp.int32) < n_real
-        dbn = affine_rows(db[:M, :kd], am, astd, aw, valid, 1e6)
-        sqn = jnp.sum(dbn * dbn, axis=-1).reshape(n_chunks, chunk, 1)
-        d = kd + 1
+        if has_sqn_col:
+            # ||u_norm||^2 rides IN the block (column kd, baked at
+            # voice-prep): the kernel slices it out of the block load — no
+            # per-step fused reduce over the DB and no (n_chunks, chunk, 1)
+            # HBM operand whose trailing singleton lane-pads 128x (the
+            # round-4 capacity OOM)
+            sqn = None
+        else:
+            from snickery_tpu.voicedb.device_layout import affine_rows
+            valid = jnp.arange(M, dtype=jnp.int32) < n_real
+            dbn = affine_rows(db[:M, :kd], am, astd, aw, valid, 1e6)
+            sqn = jnp.sum(dbn * dbn, axis=-1).reshape(n_chunks, chunk, 1)
+        d = db.shape[1]
         mask_col = kd
     else:
+        has_sqn_col = False
         M = db.shape[0]
         assert M % chunk == 0, f"M={M} must be a multiple of {chunk}"
         n_chunks = M // chunk
@@ -784,10 +816,13 @@ def pallas_topk_preselect(
     # by the target-tile axis) or "c" (indexed by the db-chunk axis); the
     # actual index maps are built per grid layout below.  Target and DB
     # lane widths differ in zero-transient split3cat mode (concatenated
-    # bf16 targets vs the raw f32 block).
-    spec_plan = [((t_tile, targets.shape[1]), "t"), ((chunk, d), "c"),
-                 ((1, chunk, 1), "c")]
-    operands = [targets, db, sqn]
+    # bf16 targets vs the raw f32 block).  Blocks with a baked sqn column
+    # carry no standalone sqn operand at all.
+    spec_plan = [((t_tile, targets.shape[1]), "t"), ((chunk, d), "c")]
+    operands = [targets, db]
+    if not has_sqn_col:
+        spec_plan.append(((1, chunk, 1), "c"))
+        operands.append(sqn)
     if has_part:
         tgt_part, db_part = partition
         operands.append(tgt_part.astype(jnp.int32).reshape(T // t_tile, 1, t_tile))
@@ -843,7 +878,8 @@ def pallas_topk_preselect(
         """One pallas_call at the chosen selection mode (shared operands)."""
         kernel = functools.partial(_topk_kernel, k, n_chunks, mm_precision,
                                    has_part, has_ling, ling_weights, mask_col,
-                                   t_tile, chunk, block, db_major, sel)
+                                   has_sqn_col, t_tile, chunk, block,
+                                   db_major, sel)
         packed_state = sel in ("packed", "packed3")
         scratch_shapes = [
             pltpu.VMEM((k, T if db_major else t_tile),

@@ -422,7 +422,8 @@ class Synthesiser:
                 "VoiceDB violates join_left == unit_features[:, :d_join]; "
                 "the device layout derives join contexts from the raw rows")
         raw_block, _, _ = build_raw_blocks(
-            db.unit_features, db.join_right, mp, ndb=1)
+            db.unit_features, db.join_right, mp, ndb=1,
+            affine=(db.mean_target, db.std_target, self._sqrt_wt))
         cuts = np.pad(db.cutpoints.astype(np.int32), ((0, mp - m), (0, 0)))
 
         # fail fast on an inconsistent preselection method (the resolver
@@ -700,7 +701,9 @@ class Synthesiser:
             # per shard) — rebuilt host-side for this mesh
             raw_block, _, _ = build_raw_blocks(
                 self.db.unit_features, self.db.join_right,
-                self.n_units_padded, ndb=ndb)
+                self.n_units_padded, ndb=ndb,
+                affine=(self.db.mean_target, self.db.std_target,
+                        self._sqrt_wt))
         # codes/ctx/part are passed unconditionally: for voices that do
         # not use them they are all-zero arrays, identical to the
         # defaults shard_voice would create

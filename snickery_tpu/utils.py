@@ -7,7 +7,9 @@ logging/timing the reference lacks (SURVEY.md §5.1/§5.5).
 
 from __future__ import annotations
 
+import collections
 import contextlib
+import functools
 import json
 import logging
 import os
@@ -193,9 +195,56 @@ def chunked_device_put(arr: np.ndarray, device=None,
     step = max(1, chunk_bytes // row_bytes)
     if step >= arr.shape[0]:
         return jax.device_put(arr, device)
+    if arr.nbytes > _INPLACE_UPLOAD_BYTES:
+        return _inplace_device_put(arr, device, step)
     parts = [jax.device_put(np.ascontiguousarray(arr[i:i + step]), device)
              for i in range(0, arr.shape[0], step)]
     return jnp.concatenate(parts, axis=0)
+
+
+# Above this size the concatenate path's 2x peak HBM starts to matter
+# (a 12 GiB raw block cannot be concatenated on a 16 GiB chip at all);
+# below it, concatenate is kept — its fully-pipelined transfers edge out
+# the windowed in-place fill on the axon tunnel.
+_INPLACE_UPLOAD_BYTES = 1 << 30
+
+
+def _inplace_device_put(arr, device, step, lookahead: int = 4):
+    """Upload into a single preallocated device buffer (peak ~N + a few
+    chunks of HBM, vs ~2N for the concatenate path).
+
+    The destination is allocated once with ``jnp.zeros`` (no transfer)
+    and every chunk lands via a jitted ``dynamic_update_slice`` whose
+    buffer argument is DONATED, so XLA updates it in place.  A small
+    lookahead window keeps ``lookahead`` chunk transfers in flight so the
+    host->device copies still pipeline with the (cheap) update steps.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, chunk, offset):
+        start = (offset,) + (0,) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, chunk, start)
+
+    with jax.default_device(device):
+        buf = jnp.zeros(arr.shape, arr.dtype)
+        offsets = list(range(0, arr.shape[0], step))
+        in_flight = collections.deque()
+        for i in offsets[:lookahead]:
+            in_flight.append((jax.device_put(
+                np.ascontiguousarray(arr[i:i + step]), device),
+                jnp.int32(i)))
+        for n, i in enumerate(offsets):
+            chunk, off = in_flight.popleft()
+            nxt = n + lookahead
+            if nxt < len(offsets):
+                j = offsets[nxt]
+                in_flight.append((jax.device_put(
+                    np.ascontiguousarray(arr[j:j + step]), device),
+                    jnp.int32(j)))
+            buf = fill(buf, chunk, off)
+    return buf
 
 
 def bucket_length(x: int, buckets: tuple[int, ...] | list[int]) -> int:

@@ -56,13 +56,28 @@ def build_raw_blocks(
     jr_raw: np.ndarray,        # (m, dj) RAW join_right rows
     mp: int,                   # padded unit count (multiple of ndb)
     ndb: int = 1,              # db-mesh axis size (shard count)
+    affine: tuple | None = None,  # (mean (kd,), std (kd,), sqrt_w (kd,)):
+                                  # ALSO bake ||((x-mean)/std)*w||^2 into an
+                                  # extra sqn column (see below)
 ) -> tuple[np.ndarray, int, int]:
     """Build the per-shard raw blocks described in the module docstring.
 
-    Returns ``(blocks (ndb * q, kd + 1) f32, q, m_s)`` where ``m_s = mp/ndb``
+    Returns ``(blocks (ndb * q, width) f32, q, m_s)`` where ``m_s = mp/ndb``
     is the DB rows per shard and ``q`` the total block rows per shard.
     Sharding ``blocks`` as ``P("db", None)`` gives each device its own
-    ``(q, kd + 1)`` block with block-LOCAL exception pointers.
+    ``(q, width)`` block with block-LOCAL exception pointers.
+
+    ``width`` is ``kd + 1`` (``[data | ptr]``), or ``kd + 2``
+    (``[data | sqn | ptr]``) when ``affine`` is given: column ``kd`` then
+    carries the precomputed squared norm of the affine-normalised row
+    (padding rows take the 1e6-sentinel norm so they can never win
+    preselection).  Baking sqn into the block at voice-prep removes BOTH
+    the per-step fused reduce over the whole DB and the lane-padded
+    ``(n_chunks, chunk, 1)`` HBM operand the kernel otherwise needs (128x
+    padding blowup on the trailing singleton — 4 GiB at 8.4M units; see
+    the round-4 capacity OOM analysis in ARCHITECTURE.md).  The pointer
+    column stays LAST either way, so ``gather_join_contexts`` is
+    layout-agnostic.
     """
     feats_raw = np.ascontiguousarray(feats_raw, np.float32)
     jr_raw = np.ascontiguousarray(jr_raw, np.float32)
@@ -96,17 +111,38 @@ def build_raw_blocks(
     e_pad = max([len(i) for i in shard_exc] + [1])
     q = m_s + 1 + e_pad
 
-    blocks = np.zeros((ndb * q, kd + 1), np.float32)
+    width = kd + 1 if affine is None else kd + 2
+    ptr_col = width - 1
+    if affine is not None:
+        mean, std, w = (np.asarray(a, np.float32) for a in affine[:3])
+        # same elementwise op order as affine_rows (f32 throughout);
+        # the row reduce is numpy (pairwise) vs XLA — LSB-level rounding
+        # differences are absorbed by the preselect rank margin and the
+        # exact-f32 rescore downstream (fidelity gates re-verified after
+        # this change; see tests/test_device_layout.py)
+        v = ((feats_raw - mean) / std) * w
+        sqn_real = np.sum(v * v, axis=1, dtype=np.float32)
+        sent = np.float32(1e6) * w
+        sqn_sentinel = np.float32(np.sum(sent * sent, dtype=np.float32))
+
+    blocks = np.zeros((ndb * q, width), np.float32)
     for s in range(ndb):
         base, lo = s * q, s * m_s
         hi = min(lo + m_s, m)
         if hi > lo:
             blocks[base: base + (hi - lo), :kd] = feats_raw[lo:hi]
+        if affine is not None:
+            # real rows get their norm; DB padding rows [hi-lo, m_s) the
+            # never-wins sentinel (halo/exception tail rows stay 0 — the
+            # grid never visits them)
+            if hi > lo:
+                blocks[base: base + (hi - lo), kd] = sqn_real[lo:hi]
+            blocks[base + (hi - lo): base + m_s, kd] = sqn_sentinel
         ids = shard_exc[s]
         if len(ids):
             blocks[base + m_s + 1: base + m_s + 1 + len(ids), :dj] = jr_raw[ids]
             ptrs = (m_s + 1 + np.arange(len(ids), dtype=np.int32))
-            blocks[base + (ids - lo), kd] = ptrs.view(np.float32)
+            blocks[base + (ids - lo), ptr_col] = ptrs.view(np.float32)
     return blocks, q, m_s
 
 

@@ -284,3 +284,25 @@ def test_chunked_device_put_matches_plain(rng):
     # small arrays and scalars take the plain path
     s = utils.chunked_device_put(np.float32(2.5))
     assert float(np.asarray(s)) == 2.5
+
+
+def test_inplace_device_put_matches_plain(rng, monkeypatch):
+    """Arrays above _INPLACE_UPLOAD_BYTES fill a donated device buffer in
+    place (peak ~N HBM, not ~2N); values must still round-trip bit-exactly,
+    including ragged final chunks and lookahead > n_chunks."""
+    import jax
+
+    from snickery_tpu import utils
+
+    monkeypatch.setattr(utils, "_INPLACE_UPLOAD_BYTES", 1024)
+    dev = jax.devices()[0]
+    for shape, dtype in [((999, 13), np.float32), ((4097,), np.int16),
+                         ((300, 5), np.int32)]:
+        a = (rng.standard_normal(shape) * 100).astype(dtype)
+        x = utils.chunked_device_put(a, chunk_bytes=2048)
+        assert x.dtype == a.dtype and x.shape == a.shape
+        np.testing.assert_array_equal(np.asarray(x), a)
+    # two rows, chunk smaller than one row: step clamps to 1 row
+    b = rng.standard_normal((3, 2000)).astype(np.float32)
+    y = utils._inplace_device_put(b, dev, step=1)
+    np.testing.assert_array_equal(np.asarray(y), b)

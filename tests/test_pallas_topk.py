@@ -275,6 +275,58 @@ def test_pallas_zero_transient_matches_derived(mm_precision, seed):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("mm_precision", ["highest", "split3", "split3cat"])
+def test_pallas_zt_sqn_column_matches_fused_reduce(mm_precision):
+    """Blocks built with ``affine=`` carry ||u_norm||^2 in column kd
+    ([data | sqn | ptr], width kd+2).  The kernel must read it as a
+    windowed view and select the same candidates as the legacy width-kd+1
+    block whose sqn comes from the per-step fused reduce (numpy vs XLA
+    reduce rounding may differ in the last ulp, so values are compared
+    with a tiny tolerance and candidate SETS must coincide)."""
+    from snickery_tpu.voicedb.device_layout import build_raw_blocks
+    rng = np.random.default_rng(4242)
+    m, kd, k = CHUNK + 700, 24, 10
+    M = 2 * CHUNK
+    feats = rng.standard_normal((m, kd)).astype(np.float32)
+    jr = np.empty((m, kd), np.float32)
+    jr[:-1] = feats[1:]
+    jr[-1] = rng.standard_normal(kd).astype(np.float32)
+    mean = (0.1 * rng.standard_normal(kd)).astype(np.float32)
+    std = rng.uniform(0.5, 2.0, kd).astype(np.float32)
+    w = rng.uniform(0.2, 1.0, kd).astype(np.float32)
+    legacy, _, _ = build_raw_blocks(feats, jr, M, ndb=1)
+    baked, _, _ = build_raw_blocks(feats, jr, M, ndb=1,
+                                   affine=(mean, std, w))
+    assert baked.shape[1] == kd + 2 and legacy.shape[1] == kd + 1
+    # ptr column stays LAST in both layouts (bit-identical pointers)
+    np.testing.assert_array_equal(baked[:, kd + 1], legacy[:, kd])
+    # baked sqn must equal the affine-normalised row norms (f32)
+    v = ((feats - mean) / std) * w
+    np.testing.assert_array_equal(
+        baked[:m, kd], np.sum(v * v, axis=1, dtype=np.float32))
+    aff = (jnp.asarray(mean), jnp.asarray(std), jnp.asarray(w),
+           jnp.int32(m))
+    T = T_TILE
+    targets = rng.standard_normal((T, kd)).astype(np.float32)
+    i_b, v_b = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(baked), k=k, interpret=True,
+        mm_precision=mm_precision, db_affine=aff,
+        zero_transient=True, m_rows=M)
+    i_l, v_l = pallas_topk_preselect(
+        jnp.asarray(targets), jnp.asarray(legacy), k=k, interpret=True,
+        mm_precision=mm_precision, db_affine=aff,
+        zero_transient=True, m_rows=M)
+    i_b, i_l = np.asarray(i_b), np.asarray(i_l)
+    assert (i_b < m).all(), "padding rows must never be selected"
+    overlap = np.mean([len(np.intersect1d(i_b[t], i_l[t])) / k
+                       for t in range(T)])
+    assert overlap > 0.999, f"candidate-set overlap {overlap:.4f}"
+    same = i_b == i_l
+    assert same.mean() > 0.999
+    np.testing.assert_allclose(np.asarray(v_b)[same], np.asarray(v_l)[same],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_zero_transient_fused_masks():
     """Partition + quinphone penalties compose with the raw-block operand."""
     rng = np.random.default_rng(83)
