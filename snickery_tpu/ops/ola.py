@@ -81,18 +81,27 @@ def host_overlap_add(
 def _rotate_rows_right(x: jax.Array, e: jax.Array) -> jax.Array:
     """Rotate each row of ``x`` (U, W) right by its own ``e`` in [0, 128).
 
-    Two-level static-roll decomposition (e = 8*e1 + e0): 16 + 8 masked
-    static rolls instead of a per-element gather — pure VPU passes.
+    Three-level static-roll decomposition (e = 16*e2 + 4*e1 + e0): 8 + 4 +
+    4 masked static rolls instead of a per-element gather — pure VPU
+    passes.  Any level split is bit-identical (rolls are exact
+    permutations); 8/4/4 minimises the pass count (16) vs the two-level
+    16 + 8 = 24 (each pass is a full read+select+add over (U, W), so the
+    pass count IS the cost at these shapes — measured 74 -> 61 ms on the
+    vmapped B=32 production OLA, scripts/exp_stages.py).
     """
-    e1 = (e // 8)[:, None]
-    e0 = (e % 8)[:, None]
+    e2 = (e // 16)[:, None]
+    e1 = ((e // 4) % 4)[:, None]
+    e0 = (e % 4)[:, None]
     y = jnp.zeros_like(x)
-    for s in range(16):
-        y = y + jnp.where(e1 == s, jnp.roll(x, 8 * s, axis=1), 0.0)
-    z = jnp.zeros_like(x)
     for s in range(8):
-        z = z + jnp.where(e0 == s, jnp.roll(y, s, axis=1), 0.0)
-    return z
+        y = y + jnp.where(e2 == s, jnp.roll(x, 16 * s, axis=1), 0.0)
+    z = jnp.zeros_like(x)
+    for s in range(4):
+        z = z + jnp.where(e1 == s, jnp.roll(y, 4 * s, axis=1), 0.0)
+    w = jnp.zeros_like(x)
+    for s in range(4):
+        w = w + jnp.where(e0 == s, jnp.roll(z, s, axis=1), 0.0)
+    return w
 
 
 @functools.partial(jax.jit, static_argnames=("max_frag", "out_len", "taper"))

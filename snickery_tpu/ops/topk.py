@@ -301,23 +301,32 @@ def order_topk_positions(vals: jax.Array, ids: jax.Array, k: int) -> jax.Array:
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, n), 1)
     big = jnp.int32(2 ** 30)
 
-    def pick(i, st):
-        v, idd, outp = st
+    # UNROLLED python loop + one stack, not lax.fori_loop: the loop-carried
+    # `.at[:, i].set` is a dynamic-minor-dim store at a traced offset —
+    # exactly the "dynamic lane stores must be 128-aligned" Mosaic slow
+    # path (ARCHITECTURE.md pathology list) — and the fori body boundary
+    # blocks XLA from fusing the per-pick elementwise chains.  Isolated at
+    # (65536, 48) -> 30 on v5e this runs 3.8 ms and beats both a 3-operand
+    # stable lax.sort (3.2 ms but needs the full sort) and a db-major
+    # transposed loop (3.6 ms) on simplicity (scripts/exp_order_topk.py);
+    # the cost that LOOKED like selection in stage timings was the callers'
+    # take_along_axis gathers on the loop's outputs.
+    v, idd = vals, ids.astype(jnp.int32)
+    outs = []
+    for _ in range(min(k, n)):
         m = jnp.min(v, axis=1)
         tied = v == m[:, None]
         sel_id = jnp.min(jnp.where(tied, idd, big), axis=1)
         hit = tied & (idd == sel_id[:, None])
         pos = jnp.min(jnp.where(hit, iota, n), axis=1).astype(jnp.int32)
-        outp = outp.at[:, i].set(jnp.minimum(pos, n - 1))
+        outs.append(jnp.minimum(pos, n - 1))
         # retire the extracted entry: value -> +inf AND id -> big (value
         # alone is not enough — partition-starved slots are already inf)
         v = jnp.where(hit, jnp.inf, v)
         idd = jnp.where(hit, big, idd)
-        return v, idd, outp
-
-    _, _, outp = jax.lax.fori_loop(
-        0, min(k, n), pick,
-        (vals, ids.astype(jnp.int32), jnp.zeros((T, k), jnp.int32)))
+    outp = jnp.stack(outs, axis=1)
+    if outp.shape[1] < k:       # k > n: keep the zero-filled (T, k) contract
+        outp = jnp.pad(outp, ((0, 0), (0, k - outp.shape[1])))
     return outp
 
 

@@ -48,7 +48,7 @@ def _pairwise_dists(right: jax.Array, left: jax.Array,
     return sq if squared else jnp.sqrt(sq)
 
 
-@functools.partial(jax.jit, static_argnames=("squared_joins",))
+@functools.partial(jax.jit, static_argnames=("squared_joins", "unroll"))
 def viterbi_decode(
     target_costs: jax.Array,     # (T, N) f32 — BIG_PENALTY for padded slots
     join_left: jax.Array,        # (T, N, dj) candidate left contexts (pre-weighted)
@@ -57,6 +57,8 @@ def viterbi_decode(
     search_epsilon: jax.Array | float = 0.0,
     length: jax.Array | None = None,   # actual T (for padded lattices); scalar int
     squared_joins: bool = False,       # config join_cost_type == "squared"
+    unroll: int = 8,                   # scan unroll (the step body is tiny —
+                                       # dispatch-bound; swept in exp_stages)
 ) -> tuple[jax.Array, jax.Array]:
     """Best path through the candidate lattice.
 
@@ -99,7 +101,7 @@ def viterbi_decode(
     # scan overhead dominates); unroll=8 trades compile size for it
     (final_cost, _), backptrs = jax.lax.scan(
         step, init, (tc[1:], join_left[1:], join_right[1:], live[1:]),
-        unroll=8,
+        unroll=unroll,
     )
     # final state: best cost at the last *live* step.  Padded steps cost 0 and
     # keep backpointer chains intact, so argmin at T-1 equals argmin at
@@ -113,7 +115,7 @@ def viterbi_decode(
 
     # reverse scan: ys[i] = state at step i+1, final carry = state at step 0
     first_state, path_tail = jax.lax.scan(backtrack, last_state, backptrs,
-                                          reverse=True, unroll=8)
+                                          reverse=True, unroll=unroll)
     path = jnp.concatenate([first_state[None], path_tail]) if T > 1 else last_state[None]
     return path.astype(jnp.int32), total
 

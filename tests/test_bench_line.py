@@ -64,7 +64,15 @@ def _populate_worst_case():
                        "oracle_path_cost_gap_rel": 0.0},
         "config3_me2": {"rtf": 0.0010842294344135682,
                         "ms_per_step": 679.1094779968262,
-                        "n_units": 1049787, "multiepoch": 2},
+                        "n_units": 1049787, "multiepoch": 2,
+                        # round-4: me2 is certified by the same gates as the
+                        # headline mode, so its line share grows too
+                        "agreement_vs_f32": 0.99991,
+                        "agreement_vs_f32_tie_adjusted": 0.9999612487792969,
+                        "f32_gate_worst_cost_gap_rel": 2.3374992573611895e-05,
+                        "agreement_vs_f64_oracle": 0.998046875,
+                        "agreement_tie_adjusted": 0.998046875,
+                        "oracle_path_cost_gap_rel": 2.4524986784781213e-07},
         "capacity": {"n_units": 8388608, "rtf": 0.0123,
                      "agreement_split3_vs_highest": 0.99997,
                      "agreement_tie_adjusted": 1.0},
