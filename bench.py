@@ -682,10 +682,12 @@ def run_toy_mode(args, extra: dict):
     # objective quality vs the held-out ORIGINALS (targets not in the DB —
     # this measures generalisation, not corpus playback; the reference
     # validated quality by listening tests, SURVEY.md §4)
-    from snickery_tpu.evaluate import f0_metrics, mel_cepstral_distortion
+    from snickery_tpu.evaluate import f0_metrics, mel_cepstral_distortion, nsim
     mcds = [mel_cepstral_distortion(r["wave"], w, SR)
             for r, w in zip(results, ref_waves)]
     mcd = float(np.nanmean(mcds))
+    nsims = [nsim(r["wave"], w, SR) for r, w in zip(results, ref_waves)]
+    nsim_mean = float(np.nanmean(nsims))
     pros = [f0_metrics(r["wave"], w, SR) for r, w in zip(results, ref_waves)]
     ffe = float(np.nanmean([p["ffe"] for p in pros]))
     f0_rmse = float(np.nanmean([p["f0_rmse_hz"] for p in pros]))
@@ -695,7 +697,8 @@ def run_toy_mode(args, extra: dict):
     flux_all = [_join_flux(synth, r) for r in results]
     _STATE["toy_quality_row"] = {
         "voice": "benchtoy", "n_units": db.n_units,
-        "held_out_mcd_db": mcd, "ffe": ffe, "f0_rmse_hz": f0_rmse,
+        "held_out_mcd_db": mcd, "nsim": nsim_mean,
+        "ffe": ffe, "f0_rmse_hz": f0_rmse,
         "join_flux_ratio": float(np.nanmean([f["ratio"] for f in flux_all]))}
     # scale anchor: a TRAINING utterance rides the natural zero-join path
     # and reconstructs the corpus nearly sample-exactly — its MCD is the
@@ -713,6 +716,7 @@ def run_toy_mode(args, extra: dict):
         f"{flux['ratio']:.2f}")
     extra["config1"] = {"latency_ms": lat, "n_units": db.n_units,
                         "audio_sec": audio_s, "held_out_mcd_db": mcd,
+                        "held_out_nsim": nsim_mean,
                         "natural_reconstruction_mcd_db": float(mcd_nat),
                         "held_out_ffe": ffe, "held_out_f0_rmse_hz": f0_rmse,
                         "join_flux_ratio": flux["ratio"],
@@ -815,7 +819,8 @@ def run_quality_mode(args, extra: dict, synth_1m=None):
     predicts MCD falling toward the natural-reconstruction floor as the
     DB grows.  Three voices: ~33k (benchtoy), ~130k (benchmid), 1.15M
     (reuses the config-#3 synthesiser when available)."""
-    from snickery_tpu.evaluate import f0_metrics, mel_cepstral_distortion
+    from snickery_tpu.evaluate import (
+        f0_metrics, mel_cepstral_distortion, nsim)
     from snickery_tpu.synth import Synthesiser
     from snickery_tpu.voicedb.build import build_voicedb
 
@@ -823,21 +828,23 @@ def run_quality_mode(args, extra: dict, synth_1m=None):
     trend = []
 
     def eval_voice(name, synth):
-        mcds, fluxes, ffes = [], [], []
+        mcds, fluxes, ffes, nsims = [], [], [], []
         for f, w in zip(feats, ref_waves):
             f = f[: 2 * synth.cfg.length_buckets[-1]]
             r = synth.synth_from_features(f)
             mcds.append(mel_cepstral_distortion(r["wave"], w, SR))
+            nsims.append(nsim(r["wave"], w, SR))
             ffes.append(f0_metrics(r["wave"], w, SR)["ffe"])
             fluxes.append(_join_flux(synth, r)["ratio"])
         row = {"voice": name, "n_units": synth.db.n_units,
                "held_out_mcd_db": float(np.nanmean(mcds)),
+               "nsim": float(np.nanmean(nsims)),
                "ffe": float(np.nanmean(ffes)),
                "join_flux_ratio": float(np.nanmean(fluxes))}
         trend.append(row)
         log(f"quality[{name}]: {row['n_units']} units, "
             f"MCD {row['held_out_mcd_db']:.2f} dB, "
-            f"FFE {row['ffe']:.3f}, "
+            f"NSIM {row['nsim']:.3f}, FFE {row['ffe']:.3f}, "
             f"flux ratio {row['join_flux_ratio']:.2f}")
 
     if _STATE.get("toy_quality_row") is not None:

@@ -202,6 +202,99 @@ def cmd_info(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_evaluate(args: argparse.Namespace) -> int:
+    """Objective quality report: synthesised wavs vs reference wavs.
+
+    The reference validated quality by MUSHRA listening tests (SURVEY.md
+    §4), which need humans; this prints the objective proxy suite instead —
+    MCD (dB), NSIM (ViSQOL-style perceptual similarity), the prosody trio
+    VDE/GPE/FFE, and (when ``-c`` names the voice config and the synth dir
+    holds ``<base>.units.npy`` from ``synth --dump-units``) the
+    join-discontinuity flux ratio at non-natural joins — per utterance
+    (matched by basename) plus means, as one JSON document.
+    """
+    import json
+
+    from snickery_tpu.evaluate import (
+        f0_metrics, join_discontinuity, mel_cepstral_distortion, nsim)
+    from snickery_tpu.io.speech import read_wave
+
+    db = taper = None
+    if getattr(args, "config", ""):
+        from snickery_tpu.voicedb.db import VoiceDB
+        cfg = load_config(args.config)
+        db = VoiceDB.load(os.path.join(cfg.workdir,
+                                       cfg.voice_name + ".voicedb"))
+        taper = cfg.taper_length
+
+    bases = sorted(b for b in utils.basenames_in(args.synth_dir, "wav")
+                   if os.path.exists(os.path.join(args.ref_dir, b + ".wav")))
+    if args.utterances:
+        bases = [b for b in bases if b in set(args.utterances)]
+    if args.max_files:
+        bases = bases[: args.max_files]
+    if not bases:
+        logger.error("no basenames common to %s and %s",
+                     args.synth_dir, args.ref_dir)
+        return 1
+    rows = []
+    for base in bases:
+        s, sr_s = read_wave(os.path.join(args.synth_dir, base + ".wav"))
+        r, sr_r = read_wave(os.path.join(args.ref_dir, base + ".wav"))
+        if sr_s != sr_r:
+            logger.warning("%s: sample-rate mismatch %d vs %d, skipping",
+                           base, sr_s, sr_r)
+            continue
+        row = {"utterance": base,
+               "mcd_db": mel_cepstral_distortion(s, r, sr_s),
+               "nsim": nsim(s, r, sr_s)}
+        row.update(f0_metrics(s, r, sr_s))
+        flux_msg = ""
+        units_path = os.path.join(args.synth_dir, base + ".units.npy")
+        if db is not None and os.path.exists(units_path):
+            # join-sample derivation (same as bench._join_flux): unit i
+            # starts at taper + sum of previous spans; corpus-consecutive
+            # units reconstruct the corpus exactly, so only NON-natural
+            # joins can pop
+            ids = np.load(units_path)
+            cuts = db.cutpoints
+            spans = (cuts[ids, 2] - cuts[ids, 1]).astype(np.int64)
+            starts = taper + np.cumsum(spans) - spans
+            nonnat = np.nonzero(cuts[ids[1:], 1] != cuts[ids[:-1], 2])[0] + 1
+            flux = join_discontinuity(s, sr_s, starts[nonnat])
+            row["join_flux_ratio"] = flux["ratio"]
+            row["n_nonnatural_joins"] = int(len(nonnat))
+            flux_msg = (f", join flux ratio {flux['ratio']:.2f} "
+                        f"({len(nonnat)} joins)")
+        rows.append(row)
+        logger.info("%s: MCD %.2f dB, NSIM %.3f, FFE %.3f%s",
+                    base, row["mcd_db"], row["nsim"], row["ffe"], flux_msg)
+    if not rows:
+        logger.error("no comparable utterance pairs")
+        return 1
+    keys = [k for k in rows[0]
+            if k not in ("utterance", "n_nonnatural_joins")]
+    means = {}
+    for k in keys:
+        vals = [r[k] for r in rows if k in r]
+        # utterances with zero non-natural joins report nan flux (nothing
+        # to measure) — omit a mean that no utterance could produce
+        if vals and np.isfinite(vals).any():
+            means[k] = float(np.nanmean(vals))
+    report = {"utterances": rows, "mean": means}
+    # strict JSON: nan (e.g. flux on an utterance with zero non-natural
+    # joins) is not valid JSON — emit null instead
+    report = json.loads(json.dumps(report, default=float),
+                        parse_constant=lambda _: None)
+    doc = json.dumps(report, indent=2)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(doc + "\n")
+        logger.info("report -> %s", args.output)
+    print(doc)
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from snickery_tpu.server import serve
 
@@ -242,6 +335,25 @@ def main(argv: list[str] | None = None) -> int:
     p_info = sub.add_parser("info", help="show voice/config info")
     _add_common(p_info)
     p_info.set_defaults(fn=cmd_info)
+
+    p_eval = sub.add_parser(
+        "evaluate", help="objective quality report (MCD/NSIM/FFE) for "
+                         "synthesised wavs vs matching reference wavs")
+    p_eval.add_argument("-s", "--synth-dir", required=True,
+                        help="directory of synthesised .wav files")
+    p_eval.add_argument("-r", "--ref-dir", required=True,
+                        help="directory of reference .wav files "
+                             "(matched by basename)")
+    p_eval.add_argument("-o", "--output", default="",
+                        help="also write the JSON report here")
+    p_eval.add_argument("-c", "--config", default="",
+                        help="voice config: enables join-discontinuity "
+                             "reporting when the synth dir holds "
+                             "<base>.units.npy files (synth --dump-units)")
+    p_eval.add_argument("-N", "--max-files", type=int, default=0)
+    p_eval.add_argument("utterances", nargs="*",
+                        help="restrict to these basenames")
+    p_eval.set_defaults(fn=cmd_evaluate)
 
     p_serve = sub.add_parser(
         "serve", help="HTTP synthesis server with dynamic request batching")

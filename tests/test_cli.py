@@ -339,3 +339,43 @@ def test_cli_serve_dispatch(monkeypatch):
                      "--max-wait-ms", "5"]) == 0
     assert calls == {"config": "voice.json", "host": "127.0.0.1",
                      "port": 8399, "max_batch": 4, "max_wait_ms": 5.0}
+
+
+def test_cli_evaluate(corpus, tmp_path, capsys):
+    """`snickery_tpu evaluate` scores synth wavs against references by
+    basename and prints/writes one JSON report (MCD/NSIM/FFE + means)."""
+    from snickery_tpu.cli import main as cli_main
+
+    synth_dir = tmp_path / "synth"
+    synth_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        w, _ = read_wave(str(corpus / "wav" / f"utt{i:02d}.wav"))
+        noisy = w + 0.02 * rng.standard_normal(len(w)).astype(np.float32)
+        write_wave(noisy, str(synth_dir / f"utt{i:02d}.wav"), SR)
+    # an unmatched extra file must be ignored, not crash the run
+    write_wave(np.zeros(1000, np.float32), str(synth_dir / "orphan.wav"), SR)
+    report_path = tmp_path / "report.json"
+    assert cli_main(["evaluate", "-s", str(synth_dir),
+                     "-r", str(corpus / "wav"), "-o", str(report_path)]) == 0
+    report = json.loads(report_path.read_text())
+    assert [r["utterance"] for r in report["utterances"]] == [
+        "utt00", "utt01", "utt02"]
+    assert 0.5 < report["mean"]["nsim"] <= 1.0
+    # additive noise fills the corpus' stop gaps, which the noisy side's
+    # speech mask keeps — MCD is legitimately large here; assert plumbing,
+    # not a quality bar
+    assert np.isfinite(report["mean"]["mcd_db"]) and report["mean"]["mcd_db"] > 0
+    assert report["mean"]["ffe"] < 0.5
+    # stdout carries the same document (scriptable without -o)
+    out = json.loads(capsys.readouterr().out)
+    assert out["mean"] == report["mean"]
+
+
+def test_cli_evaluate_no_pairs(tmp_path):
+    from snickery_tpu.cli import main as cli_main
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    assert cli_main(["evaluate", "-s", str(tmp_path / "a"),
+                     "-r", str(tmp_path / "b")]) == 1

@@ -3,8 +3,33 @@
 import numpy as np
 
 from snickery_tpu.evaluate import (
-    dtw_path, f0_metrics, join_discontinuity, mel_cepstral_distortion,
+    dtw_path, f0_metrics, join_discontinuity, mel_cepstral_distortion, nsim,
 )
+
+
+def test_nsim_identity_is_one(toy_wave):
+    wave, sr = toy_wave
+    assert nsim(wave, wave, sr) > 0.9999
+
+
+def test_nsim_orders_degradation(toy_wave, rng):
+    wave, sr = toy_wave
+    noise = rng.standard_normal(len(wave)).astype(np.float32)
+    scores = [nsim(wave + a * noise, wave, sr) for a in (0.01, 0.1, 0.5)]
+    assert scores[0] > scores[1] > scores[2]
+    assert scores[0] > 0.8                # mild degradation stays high
+    assert nsim(noise, wave, sr) < 0.2    # uncorrelated content near 0
+
+
+def test_nsim_handles_length_mismatch(toy_wave):
+    wave, sr = toy_wave
+    shorter = wave[: int(0.8 * len(wave))]
+    assert nsim(shorter, wave, sr) > 0.95  # DTW absorbs the truncation
+
+
+def test_nsim_gain_invariant(toy_wave):
+    wave, sr = toy_wave
+    assert nsim(0.25 * wave, wave, sr) > 0.9999
 
 
 def test_mcd_identity_is_zero(toy_wave):
