@@ -73,3 +73,26 @@ def test_worse_sequence_has_positive_gap():
     ids_dev = np.array([2, 6, 8], np.int32)             # off-target middle
     raw, adj, gap = agreement_metrics(ids_dev, ids_ref, tw, db, synth, 0.5)
     assert gap > 0.0
+
+
+def test_bulk_analyse_matches_per_utterance():
+    """Grouped + uniform-shape-padded analysis is bit-identical to direct
+    per-utterance magphase_analysis (the padding scheme mirrors what
+    magphase_analysis itself applies, so real rows must not move)."""
+    from bench import bulk_analyse
+    from snickery_tpu.features.epochs import detect_epochs
+    from snickery_tpu.features.magphase import magphase_analysis
+    from tests.toyvoice import SR, synth_utterance
+
+    waves = [synth_utterance(800 + i, n_segments=3)[0] for i in range(4)]
+    eps = [detect_epochs(w, SR, use_native=False) for w in waves]
+    # group_epochs small enough to force several groups of uneven sizes
+    group_epochs = max(len(e) for e in eps) + 1
+    got = bulk_analyse(waves, eps, group_epochs=group_epochs)
+    for w, e, f in zip(waves, eps, got):
+        streams = magphase_analysis(w, e, SR, n_mag=60, n_phase=45)
+        want = np.concatenate(
+            [streams["mag"], streams["real"], streams["imag"],
+             streams["lf0"]], axis=1).astype(np.float32)
+        assert f.shape == want.shape
+        np.testing.assert_array_equal(f, want)
