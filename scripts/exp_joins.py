@@ -71,7 +71,7 @@ def magphase_variant(synth, ids, smooth, overlap):
 
 
 def eval_voice(name, synth, feats, ref_waves, results):
-    from snickery_tpu.evaluate import mel_cepstral_distortion
+    from snickery_tpu.evaluate import mel_cepstral_distortion, nsim
 
     decoded = []
     for f in feats:
@@ -82,13 +82,16 @@ def eval_voice(name, synth, feats, ref_waves, results):
     rows = {}
 
     def add(variant, waves_and_starts):
-        mcds, fluxes = [], []
+        mcds, fluxes, nsims = [], [], []
         for (w, starts), ref in zip(waves_and_starts, ref_waves):
             mcds.append(mel_cepstral_distortion(w, ref, SR))
+            nsims.append(nsim(w, ref, SR))
             fluxes.append(flux_at(w, starts))
         rows[variant] = {"mcd": float(np.nanmean(mcds)),
+                         "nsim": float(np.nanmean(nsims)),
                          "flux": float(np.nanmean(fluxes))}
         log(f"{name} {variant}: MCD {rows[variant]['mcd']:.2f} dB, "
+            f"NSIM {rows[variant]['nsim']:.3f}, "
             f"flux {rows[variant]['flux']:.3f}")
 
     for taper in (50, 100, 200, 400):
