@@ -272,8 +272,11 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     if not rows:
         logger.error("no comparable utterance pairs")
         return 1
-    keys = [k for k in rows[0]
-            if k not in ("utterance", "n_nonnatural_joins")]
+    # union over ALL rows: the first paired utterance may lack .units.npy
+    # (no flux) while later ones have it — rows[0] alone would silently
+    # drop the join_flux_ratio mean (ADVICE r4)
+    keys = sorted({k for r in rows for k in r}
+                  - {"utterance", "n_nonnatural_joins"})
     means = {}
     for k in keys:
         vals = [r[k] for r in rows if k in r]
@@ -292,6 +295,13 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
             f.write(doc + "\n")
         logger.info("report -> %s", args.output)
     print(doc)
+    if getattr(args, "legacy_line", False):
+        # the old evaluate_quality.py contract: ONE strict-JSON summary
+        # line last on stdout (ADVICE r4 — external consumers parsed it)
+        print(json.dumps({"metric": "mcd_db",
+                          "value": means.get("mcd_db"),
+                          "unit": "dB",
+                          "n_utterances": len(rows)}))
     return 0
 
 
@@ -351,6 +361,11 @@ def main(argv: list[str] | None = None) -> int:
                              "reporting when the synth dir holds "
                              "<base>.units.npy files (synth --dump-units)")
     p_eval.add_argument("-N", "--max-files", type=int, default=0)
+    p_eval.add_argument("--legacy-line", action="store_true",
+                        help="also print the pre-round-4 one-line JSON "
+                             "summary ({'metric': 'mcd_db', ...}) as the "
+                             "LAST stdout line, for consumers of the old "
+                             "scripts/evaluate_quality.py output")
     p_eval.add_argument("utterances", nargs="*",
                         help="restrict to these basenames")
     p_eval.set_defaults(fn=cmd_evaluate)

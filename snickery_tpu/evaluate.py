@@ -152,13 +152,18 @@ def _gauss_blur_3x3(x: np.ndarray) -> np.ndarray:
 
 
 def nsim(synth_wave: np.ndarray, ref_wave: np.ndarray, sr: int) -> float:
-    """Neurogram similarity (NSIM, the ViSQOL similarity kernel) in [0, 1].
+    """Neurogram similarity (NSIM, the ViSQOL similarity kernel), ~[0, 1].
+
+    1.0 = identical neurograms.  The structure term (cov + C2)/(sig + C2)
+    can be negative for anti-correlated content, so the score can dip
+    slightly below 0 for pathological inputs; uncorrelated noise scores
+    near 0 (ADVICE r4).
 
     A small perceptual-model score to complement MCD (which is an L2 in
     cepstral space and rewards/penalises everything equally): SSIM-style
     luminance x structure comparison over mel neurograms, which weights
     local spectro-temporal PATTERN agreement the way the ViSQOL family
-    does.  1.0 = identical neurograms; uncorrelated noise scores near 0.
+    does.
 
     Method: 32-band normalised mel-magnitude neurograms on the MCD grid
     (see :func:`_neurogram` for why magnitude, not log), speech frames only

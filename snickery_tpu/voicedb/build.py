@@ -147,6 +147,104 @@ def _halfphone_units(
             np.asarray(ctxs, np.int32))
 
 
+def derive_multiepoch(db: VoiceDB, k: int) -> VoiceDB:
+    """Derive a ``multiepoch=k`` VoiceDB from a ``multiepoch=1`` one by pure
+    indexing — bit-identical to rebuilding with ``build_voicedb`` on the
+    same corpus at ``multiepoch=k`` (proved in
+    tests/test_e2e.py::test_derive_multiepoch_matches_built), at a cost of
+    seconds instead of a full corpus re-analysis.
+
+    Why this is exact: at ``multiepoch=1`` (and ``join_context_frames=1``)
+    unit ``j`` of an utterance IS epoch ``1+j`` — its target row is that
+    epoch's feature frame, its ``join_right`` is frame ``min(2+j, E-1)``
+    and its cutpoints are ``[t[j], t[j+1], t[min(j+2, E-1)]]`` (see
+    ``_epoch_units``).  A ``k``-epoch unit ``m`` therefore equals the
+    group of me1 units ``k*m .. k*m+k-1`` of the same utterance:
+    target = their target rows concatenated, ``join_left`` = the first
+    member's, ``join_right`` = the LAST member's (same end-of-utterance
+    clamping, since ``ends+1 == (k*m+k-1)+2`` in epoch indices), cutpoints
+    ``[first.cut0, first.cut1, last.cut2]`` (already corpus-offset), lf0
+    rows concatenated.  The me1 unit count per utterance is ``E-2``, so
+    the derived count ``(E-2)//k`` matches ``_epoch_units`` exactly.
+
+    Normalisation statistics are recomputed over the derived arrays, same
+    ops and dtype as ``build_voicedb``.  Used by bench.py's me2 mode so a
+    cold-cache bench run can certify the multiepoch=2 operating point
+    without a second corpus build (VERDICT r4 item 2).
+    """
+    if db.target_representation != "epoch":
+        raise ValueError("derive_multiepoch requires an epoch-unit voice")
+    if db.multiepoch != 1:
+        raise ValueError(
+            f"derive_multiepoch requires a multiepoch=1 source, got "
+            f"{db.multiepoch}")
+    if db.join_dim != db.target_dim:
+        raise ValueError(
+            "derive_multiepoch requires join_context_frames=1 "
+            f"(join_dim {db.join_dim} != target_dim {db.target_dim})")
+    if db.is_multivoice:
+        raise ValueError("derive_multiepoch: derive before merging voices")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    feats = np.asarray(db.unit_features)
+    jr1 = np.asarray(db.join_right)
+    cut1 = np.asarray(db.cutpoints)
+    lf01 = np.asarray(db.unit_lf0)
+    utt1 = np.asarray(db.utt_index)
+    pos1 = np.asarray(db.unit_pos)
+
+    # group me1 units k-at-a-time within each utterance: rows where
+    # pos % k == 0 start a group, kept only if the whole group fits
+    # inside the utterance (pos of the last member < that utterance's n1)
+    n1_of = np.zeros(len(db.filenames), np.int64)
+    np.maximum.at(n1_of, utt1, pos1 + 1)
+    starts = np.flatnonzero((pos1 % k == 0)
+                            & (pos1 + k <= n1_of[utt1]))
+    idx = starts[:, None] + np.arange(k)[None, :]          # (n2, k)
+
+    target2 = feats[idx].reshape(len(starts), k * feats.shape[1])
+    jl2 = feats[starts]                       # me1 join_left == own feature row
+    jr2 = jr1[idx[:, -1]]
+    cut2 = np.stack([cut1[starts, 0], cut1[starts, 1],
+                     cut1[idx[:, -1], 2]], axis=1)
+    lf02 = lf01[idx].reshape(len(starts), k * lf01.shape[1])
+
+    mean_t = target2.mean(axis=0)
+    std_t = np.maximum(target2.std(axis=0), 1e-8)
+    join_all = np.concatenate([jl2, jr2])
+    mean_j = join_all.mean(axis=0)
+    std_j = np.maximum(join_all.std(axis=0), 1e-8)
+
+    out = VoiceDB(
+        sample_rate=db.sample_rate,
+        target_representation="epoch",
+        multiepoch=k,
+        stream_list=list(db.stream_list),
+        datadims=dict(db.datadims),
+        filenames=list(db.filenames),
+        unit_names=list(db.unit_names),
+        phone_names=list(db.phone_names),
+        unit_features=target2.astype(np.float32),
+        join_left=jl2.astype(np.float32),
+        join_right=jr2.astype(np.float32),
+        cutpoints=cut2.astype(np.int64),
+        utt_index=utt1[starts],
+        unit_pos=(pos1[starts] // k).astype(np.int32),
+        unit_code=np.zeros(len(starts), np.int32),
+        context_codes=np.zeros((len(starts), 5), np.int32),
+        unit_lf0=lf02.astype(np.float32),
+        mean_target=mean_t.astype(np.float32),
+        std_target=std_t.astype(np.float32),
+        mean_join=mean_j.astype(np.float32),
+        std_join=std_j.astype(np.float32),
+        waves=np.asarray(db.waves),
+        wave_offsets=np.asarray(db.wave_offsets),
+    )
+    logger.info("derived multiepoch=%d voice: %s", k, out.summary())
+    return out
+
+
 def build_voicedb(cfg: SnickeryConfig, utterances: list[UtteranceData]) -> VoiceDB:
     """Assemble a VoiceDB from prepared per-utterance data."""
     k = cfg.multiepoch

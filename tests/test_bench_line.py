@@ -135,3 +135,54 @@ def test_nan_stays_strict_json(monkeypatch):
     parsed = json.loads(bench._result_line())
     assert parsed["value"] is None
     assert parsed["extra"]["config3"]["rtf"] is None
+
+
+def test_merge_clears_stale_skip_flags(monkeypatch, tmp_path):
+    """BENCH_full.json after a merge must never say both "<mode result>"
+    and "<mode>_skipped" (VERDICT r4 weak #3): a previous record's skip or
+    error flag is dropped whenever the merged record carries the mode's
+    result block, and an error supersedes a stale skip."""
+    import os
+    full_path = tmp_path / "BENCH_full.json"
+    # previous record: full run where quality ran but me2 was skipped and
+    # toy errored
+    prev = {"metric": "synthesis_rtf", "value": 0.002, "vs_baseline": 0.66,
+            "extra": {"config3": {"rtf": 0.002},
+                      "quality_trend": [{"voice": "benchtoy"}],
+                      "me2_skipped": "budget",
+                      "toy_error": "RuntimeError: boom",
+                      "mode_sec": {"epoch": 100.0}}}
+    full_path.write_text(json.dumps(prev))
+    # new mode-restricted run: me2 + toy produced results, quality skipped
+    monkeypatch.setitem(bench._STATE, "rtf", float("nan"))
+    monkeypatch.setitem(bench._STATE, "extra", {
+        "config3_me2": {"rtf": 0.0011},
+        "config1": {"latency_ms": 80.0},
+        "quality_skipped": "budget",
+        "mode_sec": {"me2": 150.0},
+    })
+    monkeypatch.setattr(bench, "cache_dir", lambda: str(tmp_path))
+    real_dirname = os.path.dirname
+    monkeypatch.setattr(
+        bench.os.path, "dirname",
+        lambda p: str(tmp_path) if p.endswith("bench.py") else real_dirname(p))
+    bench.flush_partial()
+    rec = json.loads(full_path.read_text())
+    extra = rec["extra"]
+    # this run's results landed; prior blocks survived the merge
+    assert extra["config3_me2"]["rtf"] == 0.0011
+    assert extra["config3"]["rtf"] == 0.002
+    # the stale flags contradicted by result blocks are gone
+    assert "me2_skipped" not in extra           # prev skip vs new block
+    assert "toy_error" not in extra             # prev error vs new block
+    # quality_trend was inherited -> this run's skip flag is dropped too
+    assert "quality_skipped" not in extra
+    # headline inherited from prev when this run had none
+    assert rec["value"] == 0.002
+    # invariant: no mode has both a result block and a skip/error flag
+    for mode, blocks in bench.MODE_BLOCKS.items():
+        if any(b in extra for b in blocks):
+            assert mode + "_skipped" not in extra
+            assert mode + "_error" not in extra
+    # mode_sec merged across runs
+    assert rec["extra"]["mode_sec"] == {"epoch": 100.0, "me2": 150.0}

@@ -379,3 +379,67 @@ def test_cli_evaluate_no_pairs(tmp_path):
     (tmp_path / "b").mkdir()
     assert cli_main(["evaluate", "-s", str(tmp_path / "a"),
                      "-r", str(tmp_path / "b")]) == 1
+
+
+def test_dirty_corpus_end_to_end(tmp_path):
+    """VERDICT r4 item 7: the whole extract -> train -> synth pipeline on a
+    deliberately DIRTY corpus — stereo, clipped+DC-offset, 24-bit, and
+    float64 wavs (everything read_wave must normalise, end-to-end rather
+    than unit-level)."""
+    import wave as wavemod
+
+    from scipy.io import wavfile
+
+    import scripts.extract_magphase_features as extract
+    from snickery_tpu.cli import main as cli_main
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    waves = [synth_utterance(240 + i, n_segments=5)[0] for i in range(4)]
+    # 0: stereo int16 (second channel attenuated)
+    st = np.stack([waves[0], 0.6 * waves[0]], axis=1)
+    wavfile.write(str(wav_dir / "d00.wav"), SR,
+                  (np.clip(st, -1, 1) * 32767).astype(np.int16))
+    # 1: clipped 2.5x + DC offset
+    dirty = np.clip(2.5 * waves[1] + 0.15, -1, 1)
+    wavfile.write(str(wav_dir / "d01.wav"), SR,
+                  (dirty * 32767).astype(np.int16))
+    # 2: 24-bit PCM
+    x24 = (np.clip(waves[2], -1, 1) * (2**23 - 1)).astype(np.int64)
+    ww = wavemod.open(str(wav_dir / "d02.wav"), "wb")
+    ww.setnchannels(1)
+    ww.setsampwidth(3)
+    ww.setframerate(SR)
+    ww.writeframes(b"".join(int(v).to_bytes(3, "little", signed=True)
+                            for v in x24))
+    ww.close()
+    # 3: float64
+    wavfile.write(str(wav_dir / "d03.wav"), SR,
+                  np.asarray(waves[3], np.float64))
+
+    feats = tmp_path / "feats"
+    assert extract.main(["-w", str(wav_dir), "-o", str(feats)]) == 0
+    cfg_path = tmp_path / "voice.json"
+    cfg_path.write_text(json.dumps({
+        "workdir": str(tmp_path / "work"),
+        "wav_datadir": str(wav_dir),
+        "pm_datadir": str(feats / "pm"),
+        "feat_datadir": str(feats),
+        "stream_list": ["mag", "real", "imag", "lf0"],
+        "datadims": {"mag": 60, "real": 45, "imag": 45, "lf0": 1},
+        "sample_rate": SR,
+        "n_candidates": 8,
+        "taper_length": 32,
+        "length_buckets": [64, 128],
+        "voice_name": "dirtytoy",
+    }))
+    assert cli_main(["train", "-c", str(cfg_path)]) == 0
+    outdir = tmp_path / "out"
+    assert cli_main(["synth", "-c", str(cfg_path), "-o", str(outdir)]) == 0
+    wavs = sorted(p for p in os.listdir(outdir) if p.endswith(".wav"))
+    assert wavs == ["d00.wav", "d01.wav", "d02.wav", "d03.wav"]
+    for w in wavs:
+        audio, sr = read_wave(str(outdir / w))
+        assert sr == SR and len(audio) > 1000
+        assert np.isfinite(audio).all()
+        assert np.abs(audio).max() > 0.01

@@ -525,3 +525,45 @@ def test_tiled_voicedb_equivalent_decode(epoch_voice):
     np.testing.assert_allclose(a["wave"], b["wave"], atol=1e-5)
     assert (np.asarray(db.cutpoints[base_b, 2] - db.cutpoints[base_b, 1])
             == np.asarray(db3.cutpoints[ids_b, 2] - db3.cutpoints[ids_b, 1])).all()
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_derive_multiepoch_matches_built(k):
+    """derive_multiepoch(me1_voice, k) must be BIT-IDENTICAL to building
+    the multiepoch=k voice from the same corpus (every array + stats):
+    bench.py's me2 mode relies on this to certify the me2 operating point
+    on a cold cache without a second corpus build (VERDICT r4 item 2)."""
+    from tests.toyvoice import build_toy_voice, toy_config
+    from snickery_tpu.voicedb.build import build_voicedb, derive_multiepoch
+
+    cfg1, db1, utts = build_toy_voice(halfphone=False, multiepoch=1)
+    cfg_k = toy_config(target_representation="epoch", multiepoch=k)
+    built = build_voicedb(cfg_k, utts)
+    derived = derive_multiepoch(db1, k)
+
+    assert derived.n_units == built.n_units
+    assert derived.multiepoch == built.multiepoch == k
+    for name in ("unit_features", "join_left", "join_right", "cutpoints",
+                 "utt_index", "unit_pos", "unit_lf0", "unit_code",
+                 "context_codes", "mean_target", "std_target", "mean_join",
+                 "std_join", "waves", "wave_offsets", "voice_ids"):
+        a, b = getattr(derived, name), getattr(built, name)
+        assert a.dtype == b.dtype, name
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    assert derived.filenames == built.filenames
+    assert derived.sample_rate == built.sample_rate
+
+
+def test_derive_multiepoch_rejects_bad_sources():
+    from tests.toyvoice import build_toy_voice
+    from snickery_tpu.voicedb.build import derive_multiepoch
+
+    _, db_hp, _ = build_toy_voice(halfphone=True)
+    with pytest.raises(ValueError, match="epoch-unit"):
+        derive_multiepoch(db_hp, 2)
+    _, db2, _ = build_toy_voice(halfphone=False, multiepoch=2)
+    with pytest.raises(ValueError, match="multiepoch=1"):
+        derive_multiepoch(db2, 2)
+    _, db1, _ = build_toy_voice(halfphone=False, multiepoch=1)
+    with pytest.raises(ValueError, match="k must be"):
+        derive_multiepoch(db1, 1)

@@ -223,3 +223,135 @@ def test_label_missing_quinphone_fields(tmp_path):
     assert phones[0].quinphone == ("xx", "sil", "a", "b", "xx")
     assert phones[1].phone == "b"
     assert phones[1].quinphone == ("xx", "xx", "b", "xx", "xx")
+
+
+# ------------------------------------------------------------- round 5:
+# adversarial wav front door (VERDICT r4 item 7): the audio equivalent of
+# the round-4 EST/HTS hardening — handle or reject-with-message, never a
+# silent misparse.  scipy silently returns PARTIAL data for a truncated
+# data chunk and passes sr=0 / NaN floats straight through; read_wave
+# must not.
+
+def _wav_header(sr, n_bytes, bits=16, channels=1, fmt=1):
+    import struct
+    block = channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, fmt, channels, sr,
+                          sr * block, block, bits)
+            + b"data" + struct.pack("<I", n_bytes))
+
+
+def test_wav_truncated_header_rejected(tmp_path):
+    p = str(tmp_path / "trunc.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF\x10\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="trunc.wav"):
+        read_wave(p)
+
+
+def test_wav_garbage_rejected(tmp_path):
+    p = str(tmp_path / "garbage.wav")
+    with open(p, "wb") as f:
+        f.write(b"\x00\x01\x02not a riff file at all" * 10)
+    with pytest.raises(ValueError, match="garbage.wav"):
+        read_wave(p)
+
+
+def test_wav_truncated_data_accepted_with_warning(tmp_path, toy_wave, caplog):
+    """Header promises more bytes than the file holds (sloppy writers do
+    this): scipy's silent partial read becomes a LOGGED warning naming the
+    file, and the partial samples come back."""
+    import logging
+    from scipy.io import wavfile
+    wave, sr = toy_wave
+    ok = str(tmp_path / "ok.wav")
+    wavfile.write(ok, sr, (np.clip(wave, -1, 1) * 32767).astype(np.int16))
+    blob = open(ok, "rb").read()
+    p = str(tmp_path / "cut.wav")
+    with open(p, "wb") as f:
+        f.write(blob[: 44 + 2 * (len(wave) // 2)])
+    with caplog.at_level(logging.WARNING, logger="snickery_tpu.io.speech"):
+        back, sr2 = read_wave(p)
+    assert sr2 == sr
+    assert 0 < len(back) <= len(wave) // 2 + 1
+    assert any("cut.wav" in r.getMessage() for r in caplog.records)
+
+
+def test_wav_zero_samples_rejected(tmp_path):
+    from scipy.io import wavfile
+    p = str(tmp_path / "empty.wav")
+    wavfile.write(p, 16000, np.zeros(0, np.int16))
+    with pytest.raises(ValueError, match="zero audio samples"):
+        read_wave(p)
+
+
+def test_wav_zero_sample_rate_rejected(tmp_path):
+    data = np.zeros(64, np.int16).tobytes()
+    p = str(tmp_path / "sr0.wav")
+    with open(p, "wb") as f:
+        f.write(_wav_header(0, len(data)) + data)
+    with pytest.raises(ValueError, match="sample rate"):
+        read_wave(p)
+
+
+def test_wav_nan_float_rejected(tmp_path):
+    from scipy.io import wavfile
+    x = np.zeros(256, np.float32)
+    x[13] = np.nan
+    p = str(tmp_path / "nan.wav")
+    wavfile.write(p, 16000, x)
+    with pytest.raises(ValueError, match="NaN/inf"):
+        read_wave(p)
+
+
+def test_wav_uint8_scaled(tmp_path):
+    from scipy.io import wavfile
+    x = np.array([0, 128, 255], np.uint8)
+    p = str(tmp_path / "u8.wav")
+    wavfile.write(p, 8000, x)
+    back, sr = read_wave(p)
+    assert sr == 8000
+    np.testing.assert_allclose(back, [-1.0, 0.0, 127.0 / 128.0], atol=1e-6)
+
+
+def test_wav_24bit_scaled(tmp_path, toy_wave):
+    """24-bit PCM (scipy returns int32 with the low byte zero)."""
+    import wave as wavemod
+    w, sr = toy_wave
+    x24 = (np.clip(w, -1, 1) * (2**23 - 1)).astype(np.int64)
+    p = str(tmp_path / "w24.wav")
+    ww = wavemod.open(p, "wb")
+    ww.setnchannels(1)
+    ww.setsampwidth(3)
+    ww.setframerate(sr)
+    ww.writeframes(b"".join(int(v).to_bytes(3, "little", signed=True)
+                            for v in x24))
+    ww.close()
+    back, sr2 = read_wave(p)
+    assert sr2 == sr
+    np.testing.assert_allclose(back, np.clip(w, -1, 1), atol=3e-7)
+
+
+def test_wav_float64_converted(tmp_path, toy_wave):
+    from scipy.io import wavfile
+    w, sr = toy_wave
+    p = str(tmp_path / "f64.wav")
+    wavfile.write(p, sr, np.asarray(w, np.float64))
+    back, sr2 = read_wave(p)
+    assert back.dtype == np.float32
+    np.testing.assert_allclose(back, w, atol=1e-6)
+
+
+def test_wav_clipped_and_dc_offset_handled(tmp_path, toy_wave):
+    """Clipped / DC-offset audio is VALID input: comes back finite, in
+    [-1, 1], with the offset preserved (the epoch detector removes the
+    per-segment mean itself)."""
+    from scipy.io import wavfile
+    w, sr = toy_wave
+    dirty = np.clip(2.5 * w + 0.2, -1, 1)
+    p = str(tmp_path / "dirty.wav")
+    wavfile.write(p, sr, (dirty * 32767).astype(np.int16))
+    back, _ = read_wave(p)
+    assert np.isfinite(back).all()
+    assert np.abs(back).max() <= 1.0
+    assert abs(float(back.mean()) - float(dirty.mean())) < 1e-3
