@@ -211,6 +211,9 @@ def flush_partial() -> None:
             rec[k] = prev.get(k)
     prev_extra = prev.get("extra", {})
     for k, v in prev_extra.items():
+        if k in ("killed_by_signal", "killed_by_watchdog",
+                 "bench_elapsed_sec"):
+            continue       # per-RUN facts: never inherit from a prior run
         if k not in rec["extra"]:
             rec["extra"][k] = v
         elif k == "mode_sec" and isinstance(v, dict):
@@ -1327,6 +1330,153 @@ def _drive_stream(synth, chunks, **kw):
     return np.asarray(times) * 1e3, time.time() - t_all, audio_samples
 
 
+def _stream_decompose(synth) -> dict | None:
+    """Decompose the streaming chunk latency (VERDICT r4 item 6): where do
+    the ~40 ms/chunk go — device compute, tunnel round trip, audio payload,
+    or host-side python?
+
+    Sources:
+    - per-chunk stage timings collected by synth_streaming itself
+      (pull/prep/dispatch host work + the blocking fetch);
+    - ``rtt_ms``: device_get of an already-materialised SCALAR — the pure
+      host<->device round trip, no compute, ~4 B payload;
+    - ``payload_fetch_ms``: device_get of a completed chunk's full
+      (unit_ids, audio, total) result — rtt + payload transfer;
+    - ``device_ms``: execution time of the compiled streaming step,
+      measured by timing K chained enqueues + ONE scalar fetch at two
+      depths (K and 2K) and differencing, which cancels both the rtt and
+      the per-call dispatch overhead (block_until_ready is a no-op on the
+      axon async runtime, so this is the only reliable way to isolate
+      device time — see bench.sync).
+    """
+    import jax
+    from snickery_tpu.synth import _streaming_step
+    last = getattr(synth, "_last_stream_step", None)
+    st = getattr(synth, "last_stream_stages", None)
+    if last is None or st is None or not st["fetch_ms"]:
+        return None
+    args, kw = last
+
+    out = _streaming_step(*args, **kw)
+    jax.device_get(out[3])                        # ensure result + warm path
+    t0 = time.time()
+    n_rtt = 20
+    for _ in range(n_rtt):
+        jax.device_get(out[3])
+    rtt_ms = (time.time() - t0) / n_rtt * 1e3
+
+    t0 = time.time()
+    for _ in range(8):
+        jax.device_get((out[0], out[2], out[3]))
+    payload_ms = (time.time() - t0) / 8 * 1e3
+
+    def wall_k(k):
+        t0 = time.time()
+        o = None
+        for _ in range(k):
+            o = _streaming_step(*args, **kw)
+        jax.device_get(o[3])
+        return time.time() - t0
+
+    wall_k(4)                                     # warm
+    w1, w2 = wall_k(8), wall_k(16)
+    device_ms = max(0.0, (w2 - w1) / 8 * 1e3)
+
+    med = {k: float(np.median(v)) for k, v in st.items() if v}
+    return {
+        "device_ms": device_ms,
+        "rtt_ms": rtt_ms,
+        "payload_fetch_ms": payload_ms,
+        "host_pull_ms": med.get("pull_ms", 0.0),
+        "host_prep_ms": med.get("prep_ms", 0.0),
+        "host_dispatch_ms": med.get("dispatch_ms", 0.0),
+        "observed_fetch_ms": med.get("fetch_ms", 0.0),
+    }
+
+
+def _greedy_quality(synth, n_utts: int = 2, chunk_rows: int = 32) -> dict:
+    """Quality penalty of the greedy / chunked-streaming decoders vs
+    Viterbi (VERDICT r4 item 4): same held-out utterances, same voice,
+    three decode paths -> MCD, NSIM, join-flux ratio, f64 path cost and
+    unit-sequence overlap vs the Viterbi selection.  This is the number a
+    user choosing the /stream surface pays relative to batch synthesis.
+    """
+    from snickery_tpu.evaluate import mel_cepstral_distortion, nsim
+    feats, ref_waves, _ = held_out_features(n_utts, 32, seed0=95_000)
+    cfg = synth.cfg
+    old_buckets = cfg.length_buckets
+    jcw, db = cfg.join_cost_weight, synth.db
+    out: dict = {}
+    ids_v: list = []
+    try:
+        for mode in ("viterbi", "greedy", "stream"):
+            mcds, nsims, fluxes, overlaps, costs = [], [], [], [], []
+            for i, (f, w) in enumerate(zip(feats, ref_waves)):
+                f = f[:1024]
+                if mode == "stream":
+                    cfg.length_buckets = [64]
+                    chunks = [f[j:j + chunk_rows]
+                              for j in range(0, len(f), chunk_rows)]
+                    pieces = list(synth.synth_streaming(iter(chunks)))
+                    wave = np.concatenate(pieces)
+                    ids = np.concatenate(synth.last_stream_unit_ids)
+                    r = {"wave": wave, "unit_ids": ids}
+                else:
+                    cfg.length_buckets = [512]
+                    r = synth.synth_from_features(
+                        f, greedy=(mode == "greedy"))
+                    ids = r["unit_ids"]
+                mcds.append(mel_cepstral_distortion(r["wave"], w, SR))
+                nsims.append(nsim(r["wave"], w, SR))
+                fluxes.append(_join_flux(synth, r)["ratio"])
+                # f64 path cost of the SELECTED sequence under the exact
+                # cost model (same maths as agreement_metrics.path_cost)
+                tgt, n = synth.targets_from_features(f)
+                n = min(n, len(ids))
+                tw = (((tgt[:n] - db.mean_target) / db.std_target)
+                      * synth._sqrt_wt[None, :]).astype(np.float32)
+                uids = np.unique(ids[:n])
+                fw = ((np.asarray(db.unit_features[uids]) - db.mean_target)
+                      / db.std_target).astype(np.float32) * synth._sqrt_wt
+                jlw = ((np.asarray(db.join_left[uids]) - db.mean_join)
+                       / db.std_join).astype(np.float32) * synth._sqrt_wj
+                jrw = ((np.asarray(db.join_right[uids]) - db.mean_join)
+                       / db.std_join).astype(np.float32) * synth._sqrt_wj
+                pos = np.searchsorted(uids, ids[:n])
+                f64 = np.float64
+                tc = np.sqrt(((fw[pos].astype(f64) - tw.astype(f64)) ** 2
+                              ).sum(-1)).sum()
+                jc = np.sqrt(((jlw[pos[1:]].astype(f64)
+                               - jrw[pos[:-1]].astype(f64)) ** 2
+                              ).sum(-1)).sum()
+                costs.append(float(tc + jcw * jc))
+                if mode == "viterbi":
+                    ids_v.append(ids)
+                else:
+                    n_o = min(len(ids), len(ids_v[i]))
+                    overlaps.append(
+                        float((ids[:n_o] == ids_v[i][:n_o]).mean()))
+            row = {"mcd_db": float(np.nanmean(mcds)),
+                   "nsim": float(np.nanmean(nsims)),
+                   "join_flux_ratio": float(np.nanmean(fluxes)),
+                   "f64_path_cost": float(np.mean(costs))}
+            if overlaps:
+                row["unit_overlap_vs_viterbi"] = float(np.mean(overlaps))
+            out[mode] = row
+            log(f"greedy-quality[{mode}]: MCD {row['mcd_db']:.2f} dB, "
+                f"NSIM {row['nsim']:.3f}, flux {row['join_flux_ratio']:.2f}, "
+                f"path cost {row['f64_path_cost']:.1f}"
+                + (f", overlap {row.get('unit_overlap_vs_viterbi', 1):.3f}"
+                   if overlaps else ""))
+    finally:
+        cfg.length_buckets = old_buckets
+    out["cost_increase_greedy_rel"] = (
+        out["greedy"]["f64_path_cost"] / out["viterbi"]["f64_path_cost"] - 1.0)
+    out["cost_increase_stream_rel"] = (
+        out["stream"]["f64_path_cost"] / out["viterbi"]["f64_path_cost"] - 1.0)
+    return out
+
+
 def run_streaming_mode(args, extra: dict, synth):
     """Streaming latency on the 1M-unit voice, BOTH input modes:
     - config4 (as specified): FIXED-RATE DNN-style chunks — the predicted
@@ -1368,6 +1518,15 @@ def run_streaming_mode(args, extra: dict, synth):
                             "input": "fixed_rate_dnn_style",
                             "frameshift_ms": fs * 1e3,
                             "chunk_frames": frames_per_chunk}
+        # latency decomposition (VERDICT r4 item 6): device compute vs
+        # tunnel RTT vs payload vs host python — makes the number
+        # interpretable on deployments without the axon tunnel
+        decomp = _stream_decompose(synth)
+        if decomp:
+            log("config4 chunk-latency decomposition: "
+                + ", ".join(f"{k} {v:.1f}" for k, v in decomp.items()))
+            extra["config4"].update(
+                {k: round(v, 2) for k, v in decomp.items()})
 
         # ---- natural epoch-rate input (round-2 variant, kept) ----
         chunks = [f[i:i + chunk_rows] for i in range(0, len(f), chunk_rows)]
@@ -1383,6 +1542,19 @@ def run_streaming_mode(args, extra: dict, synth):
                                     "chunk_latency_p95_ms": p95,
                                     "rtf": rtf_stream,
                                     "chunk_units": chunk_rows}
+        flush_partial()
+        # greedy/streaming QUALITY penalty vs Viterbi (VERDICT r4 item 4):
+        # guarded separately so the latency numbers above always land even
+        # when the budget cannot afford the extra decodes/compiles
+        if not over_budget(150.0):
+            gq = _greedy_quality(synth)
+            extra["config4"]["quality_vs_viterbi"] = gq
+            extra["config4"]["greedy_mcd_delta_db"] = round(
+                gq["greedy"]["mcd_db"] - gq["viterbi"]["mcd_db"], 3)
+            extra["config4"]["stream_mcd_delta_db"] = round(
+                gq["stream"]["mcd_db"] - gq["viterbi"]["mcd_db"], 3)
+        else:
+            log("greedy-quality measurement SKIPPED: budget")
     finally:
         cfg.length_buckets = old_buckets
 

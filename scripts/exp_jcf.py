@@ -17,6 +17,15 @@ corpus rebuild:
 Reports MCD + join-flux for both widths on the same held-out targets
 (selection CHANGES with jcf — that is the point: a 2-frame join cost
 penalises transitions whose mismatch only shows one frame later).
+
+Round 5 (VERDICT r4 item 5): the round-4 run was CONFOUNDED — doubling the
+join-context width also raises the effective join weight by ~sqrt(2)
+(the L2 norm over 2d dims of same-scale mismatch).  This version adds the
+controls that isolate the SHAPE benefit from the WEIGHT side-effect:
+  - jcf2_comp : jcf=2 with join_cost_weight scaled by 1/sqrt(2) — width-2
+                contexts at MATCHED effective join weight;
+  - jcf1_up   : jcf=1 with join_cost_weight scaled by sqrt(2) — does
+                raising the weight alone reproduce jcf2's behaviour?
 """
 import copy
 import json
@@ -78,10 +87,18 @@ def main():
     db1 = VoiceDB.load(me2_dir)
     results = {}
 
-    for jcf, db in (("jcf1", db1), ("jcf2", widen_joins(db1))):
-        cfg = bench_config(voice_name=f"bench1m_me2_{jcf}", multiepoch=2,
-                           length_buckets=[512],
-                           join_context_frames=1 if jcf == "jcf1" else 2)
+    db2 = widen_joins(db1)
+    sq2 = float(np.sqrt(2.0))
+    variants = (
+        ("jcf1",      db1, 1, bench.JCW),         # round-4 baseline
+        ("jcf1_up",   db1, 1, bench.JCW * sq2),   # weight-only control
+        ("jcf2",      db2, 2, bench.JCW),         # round-4 confounded point
+        ("jcf2_comp", db2, 2, bench.JCW / sq2),   # width at MATCHED weight
+    )
+    for name, db, jcf, jcw in variants:
+        cfg = bench_config(voice_name=f"bench1m_me2_{name}", multiepoch=2,
+                           length_buckets=[512], join_context_frames=jcf,
+                           join_cost_weight=jcw)
         synth = Synthesiser(cfg, db=db)
         mcds, fluxes = [], []
         for f, w in zip(feats, ref_waves):
@@ -91,11 +108,13 @@ def main():
             wave, starts = ola_variant(synth, ids, cfg.taper_length)
             mcds.append(mel_cepstral_distortion(wave, w, SR))
             fluxes.append(flux_at(wave, starts))
-        results[jcf] = {"mcd": float(np.nanmean(mcds)),
-                        "flux": float(np.nanmean(fluxes)),
-                        "n_units": db.n_units}
-        log(f"bench1m_me2 {jcf}: MCD {results[jcf]['mcd']:.2f} dB, "
-            f"flux {results[jcf]['flux']:.3f}")
+        results[name] = {"mcd": float(np.nanmean(mcds)),
+                         "flux": float(np.nanmean(fluxes)),
+                         "jcf": jcf, "jcw": round(jcw, 4),
+                         "n_units": db.n_units}
+        log(f"bench1m_me2 {name} (jcf={jcf}, jcw={jcw:.3f}): "
+            f"MCD {results[name]['mcd']:.2f} dB, "
+            f"flux {results[name]['flux']:.3f}")
         del synth
 
     print(json.dumps(results))

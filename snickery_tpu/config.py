@@ -127,6 +127,17 @@ class SnickeryConfig:
                                             # HBM); -1 = auto policy
                                             # (ops.topk.zero_transient_default),
                                             # 0 = off, 1 = on
+    raw_block_layout: str = "auto"          # device layout of the resident
+                                            # raw block: "rowmajor" (default
+                                            # tiled layout), "colmajor"
+                                            # (major_to_minor=(0,1): compact,
+                                            # removes the lane-padded relayout
+                                            # copy of the whole block — the
+                                            # round-4 8 GiB capacity OOM), or
+                                            # "auto" (colmajor when the
+                                            # zero-transient Pallas path is
+                                            # active and the copy would be
+                                            # >= ~2 GiB; utils.colmajor_format)
 
     # ---- misc ----
     voice_name: str = "voice"
@@ -163,6 +174,9 @@ class SnickeryConfig:
             raise ValueError("magphase_overlap must be >= 0")
         if self.waves_dtype not in ("float32", "int16"):
             raise ValueError(f"unknown waves_dtype {self.waves_dtype!r}")
+        if self.raw_block_layout not in ("auto", "rowmajor", "colmajor"):
+            raise ValueError(
+                f"unknown raw_block_layout {self.raw_block_layout!r}")
         # Broadcast scalar weights across streams.
         ns = len(self.stream_list)
         for attr in ("target_stream_weights", "join_stream_weights"):

@@ -15,6 +15,7 @@ axis.  The unit DB lives on device permanently (HBM resident).
 from __future__ import annotations
 
 import functools
+import time
 from typing import NamedTuple
 
 import jax
@@ -434,6 +435,8 @@ class Synthesiser:
         # chunked upload: ~5x monolithic throughput on the axon tunnel and
         # keeps signal handlers responsive during multi-GB transfers
         put = functools.partial(utils.chunked_device_put, device=dev)
+        raw_fmt = (utils.colmajor_format(dev)
+                   if self._raw_colmajor(mp, db.target_dim) else None)
         # merged multi-voice DBs carry voice_ids + voice_names (voicedb/multivoice.py)
         self.is_multivoice = db.is_multivoice
         if self.is_multivoice:
@@ -476,7 +479,7 @@ class Synthesiser:
         else:
             waves_dev = np.asarray(db.waves, np.float32)
         self.device_db = DeviceDB(
-            raw=put(raw_block),
+            raw=put(raw_block, format=raw_fmt),
             n_real=put(np.int32(m)),
             cut1=put(np.ascontiguousarray(cuts[:, 1])),
             cut2=put(np.ascontiguousarray(cuts[:, 2])),
@@ -536,6 +539,38 @@ class Synthesiser:
 
     def _pallas_interpret(self) -> bool:
         return self.cfg.use_pallas == "interpret"
+
+    def _raw_colmajor(self, mp: int, kd: int) -> bool:
+        """Should the resident raw block live in COLUMN-MAJOR device layout?
+
+        The default row-major tiled layout lane-pads the (mp, kd+1) block's
+        minor dim to a multiple of 128 (152 -> 256 at d=151), and the
+        compiled step then materialises a relayout COPY of the whole block
+        every execution — 1.7x the block's size, 8 GiB at 8.4M units (the
+        round-4 capacity OOM; commit a155ec4's open half).  Column-major
+        is compact for the same array (kd+1 along sublanes, mp % 128 == 0
+        along lanes), so the zero-transient kernel reads the resident
+        block directly with no copy; bit-identical through the production
+        step (scripts/exp_layout.py, scripts/exp_layout_full.py).
+
+        "auto" flips to colmajor only where the copy is material
+        (>= 2 GiB) and the zero-transient Pallas path consumes the
+        resident block; "colmajor"/"rowmajor" force it either way.
+        """
+        mode = self.cfg.raw_block_layout
+        if mode == "rowmajor":
+            return False
+        if mode == "colmajor":
+            return True
+        if not self._use_pallas():
+            return False
+        zt = (zero_transient_default(True, self.cfg.preselect_precision)
+              if self.cfg.zero_transient < 0
+              else bool(self.cfg.zero_transient))
+        if not zt:
+            return False
+        lanes = -(-(kd + 1) // 128) * 128
+        return mp * lanes * 4 >= (2 << 30)
 
     def _preselect_method(self) -> str:
         """Resolve config preselection_method ("" = auto by voice type)."""
@@ -878,6 +913,14 @@ class Synthesiser:
         leftover = np.zeros((0, d), np.float32)
         n_cand = min(cfg.n_candidates, self.n_units_padded)
         self.last_stream_unit_ids: list[np.ndarray] = []   # diagnostics
+        # per-chunk stage timings (ms), for latency decomposition: host-side
+        # feature prep, async step dispatch, and the blocking device fetch
+        # (which under depth-1 pipelining includes any residual device
+        # compute + the tunnel round trip + the audio payload transfer)
+        stages: dict[str, list] = {"pull_ms": [], "prep_ms": [],
+                                   "dispatch_ms": [], "fetch_ms": []}
+        self.last_stream_stages = stages
+        self._last_stream_step = None       # (args, kwargs) for microbench
 
         def chunks_then_flush():
             yield from feature_chunks
@@ -888,7 +931,9 @@ class Synthesiser:
             # (~50-100 ms) is the latency floor, so never pay it twice
             nonlocal tail
             unit_ids, audio, total, t_units = pending
+            t0 = time.time()
             unit_ids, audio, total = jax.device_get((unit_ids, audio, total))
+            stages["fetch_ms"].append((time.time() - t0) * 1e3)
             ids = np.asarray(unit_ids)[:t_units]
             self.last_stream_unit_ids.append(ids)
             if cfg.preload_all_waves:
@@ -904,7 +949,17 @@ class Synthesiser:
         # device array, so no host sync is needed, and the fetch round trip
         # overlaps the next chunk's device compute.
         pending = None
-        for chunk_feats in chunks_then_flush():
+        src = chunks_then_flush()
+        while True:
+            # explicit pull so upstream chunk PRODUCTION cost (e.g. the
+            # fixed-rate epoch resampler) is timed separately from prep
+            t_pull = time.time()
+            try:
+                chunk_feats = next(src)
+            except StopIteration:
+                break
+            stages["pull_ms"].append((time.time() - t_pull) * 1e3)
+            t_prep = time.time()
             if chunk_feats is None:
                 # end of stream: pad any leftover epochs to one final unit by
                 # repeating the last frame (otherwise up to k-1 trailing
@@ -933,13 +988,14 @@ class Synthesiser:
             codes[:t_units] = vid
             out_len = utils.next_multiple(
                 t_bucket * self.max_span + t2, 128)
-            unit_ids, ctx, audio, total = _streaming_step(
+            step_args = (
                 ddb, jnp.asarray(tgt_pad), jnp.int32(t_units),
                 jnp.asarray(codes),
                 (jnp.zeros((ddb.sqrt_wj.shape[0],), jnp.float32)
                  if ctx is None else ctx),
                 jnp.float32(0.0 if ctx is None else cfg.join_cost_weight),
-                jnp.float32(cfg.join_cost_weight),
+                jnp.float32(cfg.join_cost_weight))
+            step_kw = dict(
                 n_cand=n_cand, chunk=self.chunk, use_pallas=use_pallas,
                 mm_precision=cfg.preselect_precision,
                 multivoice=self.is_multivoice,
@@ -950,6 +1006,12 @@ class Synthesiser:
                 do_ola=cfg.preload_all_waves,
                 margin=cfg.preselect_margin,
                 zero_transient=cfg.zero_transient)
+            stages["prep_ms"].append((time.time() - t_prep) * 1e3)
+            t_disp = time.time()
+            unit_ids, ctx, audio, total = _streaming_step(
+                *step_args, **step_kw)
+            stages["dispatch_ms"].append((time.time() - t_disp) * 1e3)
+            self._last_stream_step = (step_args, step_kw)
             if pending is not None:
                 yield finish(pending)
             pending = (unit_ids, audio, total, t_units)

@@ -171,8 +171,24 @@ def warm_transfer(device=None):
     return jax.device_put(np.ones(128, np.float32), device)
 
 
+def colmajor_format(device):
+    """Column-major (major_to_minor=(0,1)) single-device placement for a
+    2-D array.  For a (M, d) f32 block with d not a multiple of 128, the
+    DEFAULT row-major tiled layout lane-pads d (e.g. 152 -> 256) — the
+    compiled preselect step then materialises a 1.7x-sized relayout copy
+    of the whole block every execution (8 GiB at 8.4M units; the round-4
+    capacity OOM).  The col-major layout is compact for the same array
+    (d along sublanes, M along lanes with M % 128 == 0), so the kernel
+    reads the resident block directly (scripts/exp_layout.py,
+    scripts/exp_layout_full.py)."""
+    from jax._src.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    return Format(Layout(major_to_minor=(0, 1)), SingleDeviceSharding(device))
+
+
 def chunked_device_put(arr: np.ndarray, device=None,
-                       chunk_bytes: int = 96 * 1024 * 1024):
+                       chunk_bytes: int = 96 * 1024 * 1024, format=None):
     """Upload a host array to one device in ~chunk_bytes row slices.
 
     Measured on the axon tunnel (400 MB f32, post-warmup): a monolithic
@@ -183,20 +199,29 @@ def chunked_device_put(arr: np.ndarray, device=None,
     returns to Python between dispatches, which keeps signal handlers
     (bench SIGTERM/SIGALRM flush) responsive during multi-GB uploads.
     Peak device memory is ~2x the array during the concatenate.
+
+    ``format``: optional jax Format (sharding + device layout) the
+    resident array must have (e.g. :func:`colmajor_format`).  The chunked
+    paths build the array in that layout directly (the in-place fill jit
+    pins both in_ and out_shardings to it, so XLA updates the buffer
+    without a relayout round trip).
     """
     import jax
     import jax.numpy as jnp
 
     if device is None:
         device = jax.devices()[0]
+    placement = format if format is not None else device
     if arr.nbytes <= chunk_bytes or arr.ndim == 0 or arr.shape[0] < 2:
-        return jax.device_put(arr, device)
+        return jax.device_put(arr, placement)
     row_bytes = max(1, arr.nbytes // arr.shape[0])
     step = max(1, chunk_bytes // row_bytes)
     if step >= arr.shape[0]:
-        return jax.device_put(arr, device)
-    if arr.nbytes > _INPLACE_UPLOAD_BYTES:
-        return _inplace_device_put(arr, device, step)
+        return jax.device_put(arr, placement)
+    if arr.nbytes > _INPLACE_UPLOAD_BYTES or format is not None:
+        # the concatenate path cannot express an output layout; the
+        # in-place fill can (and peaks at ~N instead of ~2N)
+        return _inplace_device_put(arr, device, step, format=format)
     parts = [jax.device_put(np.ascontiguousarray(arr[i:i + step]), device)
              for i in range(0, arr.shape[0], step)]
     return jnp.concatenate(parts, axis=0)
@@ -209,7 +234,7 @@ def chunked_device_put(arr: np.ndarray, device=None,
 _INPLACE_UPLOAD_BYTES = 1 << 30
 
 
-def _inplace_device_put(arr, device, step, lookahead: int = 4):
+def _inplace_device_put(arr, device, step, lookahead: int = 4, format=None):
     """Upload into a single preallocated device buffer (peak ~N + a few
     chunks of HBM, vs ~2N for the concatenate path).
 
@@ -218,17 +243,31 @@ def _inplace_device_put(arr, device, step, lookahead: int = 4):
     buffer argument is DONATED, so XLA updates it in place.  A small
     lookahead window keeps ``lookahead`` chunk transfers in flight so the
     host->device copies still pipeline with the (cheap) update steps.
+    ``format``: optional Format pinning the buffer's device layout — both
+    the allocation and the fill jit carry it, so no relayout copy exists
+    at any point.
     """
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fill(buf, chunk, offset):
-        start = (offset,) + (0,) * (buf.ndim - 1)
-        return jax.lax.dynamic_update_slice(buf, chunk, start)
+    if format is not None:
+        fill = jax.jit(
+            lambda buf, chunk, offset: jax.lax.dynamic_update_slice(
+                buf, chunk, (offset,) + (0,) * (buf.ndim - 1)),
+            donate_argnums=(0,),
+            in_shardings=(format, None, None), out_shardings=format)
+        alloc = jax.jit(lambda: jnp.zeros(arr.shape, arr.dtype),
+                        out_shardings=format)
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fill(buf, chunk, offset):
+            start = (offset,) + (0,) * (buf.ndim - 1)
+            return jax.lax.dynamic_update_slice(buf, chunk, start)
+
+        alloc = None
 
     with jax.default_device(device):
-        buf = jnp.zeros(arr.shape, arr.dtype)
+        buf = alloc() if alloc is not None else jnp.zeros(arr.shape, arr.dtype)
         offsets = list(range(0, arr.shape[0], step))
         in_flight = collections.deque()
         for i in offsets[:lookahead]:

@@ -186,3 +186,31 @@ def test_merge_clears_stale_skip_flags(monkeypatch, tmp_path):
             assert mode + "_error" not in extra
     # mode_sec merged across runs
     assert rec["extra"]["mode_sec"] == {"epoch": 100.0, "me2": 150.0}
+
+
+def test_merge_never_inherits_per_run_kill_flags(monkeypatch, tmp_path):
+    """killed_by_signal / killed_by_watchdog / bench_elapsed_sec describe
+    ONE run; a later merge must not resurrect them (a doomed tunnel-outage
+    run would otherwise brand every future record as killed)."""
+    import os
+    full_path = tmp_path / "BENCH_full.json"
+    prev = {"metric": "synthesis_rtf", "value": 0.002, "vs_baseline": 0.66,
+            "extra": {"config3": {"rtf": 0.002}, "killed_by_signal": 15,
+                      "killed_by_watchdog": 1199.9,
+                      "bench_elapsed_sec": 1500.0}}
+    full_path.write_text(json.dumps(prev))
+    monkeypatch.setitem(bench._STATE, "rtf", 0.0016)
+    monkeypatch.setitem(bench._STATE, "extra",
+                        {"config3": {"rtf": 0.0016},
+                         "bench_elapsed_sec": 250.0})
+    monkeypatch.setattr(bench, "cache_dir", lambda: str(tmp_path))
+    real_dirname = os.path.dirname
+    monkeypatch.setattr(
+        bench.os.path, "dirname",
+        lambda p: str(tmp_path) if p.endswith("bench.py") else real_dirname(p))
+    bench.flush_partial()
+    rec = json.loads(full_path.read_text())
+    assert "killed_by_signal" not in rec["extra"]
+    assert "killed_by_watchdog" not in rec["extra"]
+    assert rec["extra"]["bench_elapsed_sec"] == 250.0
+    assert rec["extra"]["config3"]["rtf"] == 0.0016

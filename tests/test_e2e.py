@@ -567,3 +567,22 @@ def test_derive_multiepoch_rejects_bad_sources():
     _, db1, _ = build_toy_voice(halfphone=False, multiepoch=1)
     with pytest.raises(ValueError, match="k must be"):
         derive_multiepoch(db1, 1)
+
+
+def test_colmajor_raw_block_layout_identical(epoch_voice):
+    """raw_block_layout="colmajor" (the capacity-scale layout that removes
+    the lane-padded relayout copy of the resident raw block — VERDICT r4
+    item 1) must select identical unit sequences and audio to the default
+    layout, on both the XLA and the (interpret-mode) Pallas paths."""
+    from tests.toyvoice import prepare_toy_utts, toy_config
+    cfg_d, db, utts, synth_default = epoch_voice
+    utt = prepare_toy_utts(1, seed0=901)[0]
+    ref = synth_default.synth_from_features(utt.features)
+
+    for use_pallas in (False, "interpret"):
+        cfg = toy_config(raw_block_layout="colmajor", use_pallas=use_pallas)
+        synth_cm = Synthesiser(cfg, db=db)
+        assert synth_cm.device_db.raw.format.layout.major_to_minor == (0, 1)
+        r = synth_cm.synth_from_features(utt.features)
+        np.testing.assert_array_equal(r["unit_ids"], ref["unit_ids"])
+        np.testing.assert_allclose(r["wave"], ref["wave"], atol=1e-5)
