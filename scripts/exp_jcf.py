@@ -84,7 +84,22 @@ def main():
     feats, ref_waves, _ = held_out_features(3, 32, seed0=95_000)
 
     me2_dir = os.path.join(cache_dir(), "bench1m_me2.voicedb")
-    db1 = VoiceDB.load(me2_dir)
+    if not os.path.isdir(me2_dir):
+        # fall back to the derived me2 inventory the bench me2 mode caches
+        # (bit-identical to building at multiepoch=2 on the me1 corpus —
+        # tests/test_e2e.py::test_derive_multiepoch_matches_built)
+        me2_dir = os.path.join(cache_dir(), "bench1m_me2d.voicedb")
+    if not os.path.isdir(me2_dir):
+        base = os.path.join(cache_dir(), "bench1m.voicedb")
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                "needs a cached me2 voice (run `bench.py --modes epoch,me2` "
+                "first) or at least the bench1m voice to derive from")
+        from snickery_tpu.voicedb.build import derive_multiepoch
+        log("deriving me2 inventory from cached bench1m voice ...")
+        db1 = derive_multiepoch(VoiceDB.load(base, mmap=False), 2)
+    else:
+        db1 = VoiceDB.load(me2_dir)
     results = {}
 
     db2 = widen_joins(db1)
