@@ -251,13 +251,36 @@ def _inplace_device_put(arr, device, step, lookahead: int = 4, format=None):
     import jax.numpy as jnp
 
     if format is not None:
-        fill = jax.jit(
-            lambda buf, chunk, offset: jax.lax.dynamic_update_slice(
-                buf, chunk, (offset,) + (0,) * (buf.ndim - 1)),
+        # The persistent compilation cache on this jax/libtpu keys an
+        # executable by its HLO but NOT by the requested argument/result
+        # LAYOUTS: the pre-layout (row-major) zeros/fill executables from
+        # an earlier run are served for the format-pinned jits, and the
+        # buffer silently arrives/becomes row-major — the round-5
+        # 8.4M-unit capacity failure (measured: a fresh cache honours the
+        # same requests; jax.device_put cannot relayout a committed
+        # multi-GiB on-device array either — measured no-op at 5 GiB).
+        # Salting the HLO with a tiny layout-pinned `tag` argument that
+        # FLOWS INTO the result (jit drops unused args) makes the row- and
+        # col-major variants structurally different programs, so they can
+        # never collide in the cache.  The tag is zeros, so setting/adding
+        # its corner element changes nothing.
+        tag = jax.device_put(np.zeros((128,) * arr.ndim, arr.dtype), format)
+        corner = (0,) * arr.ndim
+        fill_t = jax.jit(
+            lambda buf, chunk, offset, _t: jax.lax.dynamic_update_slice(
+                buf, chunk, (offset,) + (0,) * (buf.ndim - 1)
+            ).at[corner].add(_t[corner]),
             donate_argnums=(0,),
-            in_shardings=(format, None, None), out_shardings=format)
-        alloc = jax.jit(lambda: jnp.zeros(arr.shape, arr.dtype),
-                        out_shardings=format)
+            in_shardings=(format, None, None, format), out_shardings=format)
+
+        def fill(buf, chunk, offset):
+            return fill_t(buf, chunk, offset, tag)
+
+        alloc = jax.jit(
+            lambda _t: jnp.zeros(arr.shape, arr.dtype).at[corner].set(
+                _t[corner]),
+            in_shardings=(format,), out_shardings=format)
+        alloc = functools.partial(alloc, tag)
     else:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def fill(buf, chunk, offset):
@@ -268,6 +291,14 @@ def _inplace_device_put(arr, device, step, lookahead: int = 4, format=None):
 
     with jax.default_device(device):
         buf = alloc() if alloc is not None else jnp.zeros(arr.shape, arr.dtype)
+        if format is not None and (buf.format.layout.major_to_minor
+                                   != format.layout.major_to_minor):
+            raise RuntimeError(
+                f"_inplace_device_put: alloc returned layout "
+                f"{buf.format.layout.major_to_minor}, requested "
+                f"{format.layout.major_to_minor} — the layout-tagged alloc "
+                "should make this impossible; a relayout copy cannot repair "
+                "it at this size (measured no-op), so fail loudly")
         offsets = list(range(0, arr.shape[0], step))
         in_flight = collections.deque()
         for i in offsets[:lookahead]:
@@ -283,6 +314,16 @@ def _inplace_device_put(arr, device, step, lookahead: int = 4, format=None):
                     np.ascontiguousarray(arr[j:j + step]), device),
                     jnp.int32(j)))
             buf = fill(buf, chunk, off)
+    if format is not None and (buf.format.layout.major_to_minor
+                               != format.layout.major_to_minor):
+        # never hand back a wrong-layout resident block silently: a
+        # consumer jit compiled for the requested layout would either
+        # reject the arg or (worse) read it transposed
+        raise RuntimeError(
+            f"_inplace_device_put: requested layout "
+            f"{format.layout.major_to_minor} but the filled buffer is "
+            f"{buf.format.layout.major_to_minor}; the fill executable "
+            "dropped the result layout (stale compilation-cache entry?)")
     return buf
 
 
