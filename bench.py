@@ -1055,9 +1055,10 @@ def run_me2_mode(args, extra: dict):
 def run_capacity_mode(args, extra: dict):
     """~8M epoch units on ONE chip via the zero-transient `split3` kernel
     (the preselect operand is the resident raw block — no per-step derived
-    copy in HBM; see ops/pallas_topk.py and ARCHITECTURE.md).  NOT in the
-    default mode list: the corpus build is ~1 h of host time and the mode
-    exists to evidence the capacity ceiling, not the headline RTF.  The
+    copy in HBM; see ops/pallas_topk.py and ARCHITECTURE.md).  In the
+    default mode list since round 5 (right after me2) via the --cap-tile
+    fast path; the real-corpus build (--cap-tile 0) stays opt-in: ~1 h of
+    host time.  The mode evidences the capacity ceiling, not the RTF.  The
     float64 host oracle is ~50 min at this scale, so the fidelity gate here
     is split3-vs-highest unit agreement (both zero-transient, independent
     rounding paths) with the same tie adjustment as config3."""
@@ -1102,10 +1103,20 @@ def run_capacity_mode(args, extra: dict):
     import dataclasses as _dc
     raw_gib = db.n_units * (db.target_dim + 1) * 4 / 2**30
     waves_gib = len(db.waves) * 2 / 2**30
-    if raw_gib + waves_gib > 12.0:
+    # In a full default-mode run the epoch/me2 voices may still be resident
+    # (~2-3 GiB) when capacity starts — count live bytes_in_use toward the
+    # budget, not just this mode's own arrays (round-5: capacity joined the
+    # default schedule, so the single-mode assumption no longer holds).
+    try:
+        used_gib = jax.local_devices()[0].memory_stats().get(
+            "bytes_in_use", 0) / 2**30
+    except Exception:
+        used_gib = 0.0
+    if used_gib + raw_gib + waves_gib > 12.0:
         cfg = _dc.replace(cfg, preload_all_waves=False)
-        log(f"capacity: est. raw {raw_gib:.1f} + waves {waves_gib:.1f} GiB "
-            "> 12 GiB -> preload_all_waves=False (host OLA)")
+        log(f"capacity: est. raw {raw_gib:.1f} + waves {waves_gib:.1f} "
+            f"+ resident {used_gib:.1f} GiB > 12 GiB -> "
+            "preload_all_waves=False (host OLA)")
     t0 = time.time()
     synth = Synthesiser(cfg, db=db)
     synth.ensure_sharded()
@@ -1659,14 +1670,15 @@ def run_pallas_check(args, extra: dict):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes",
-                    default="epoch,pallas,halfphone,streaming,multivoice,"
-                            "toy,48k,quality,me2",
-                    help="comma list: epoch,toy,me2,halfphone,streaming,"
-                         "multivoice,pallas,48k,quality (ordered by importance: "
-                         "the headline config + its fidelity gates run first "
-                         "so a budget/timeout cut loses only tail configs; "
-                         "me2 costs a second 1M-unit device upload but no new "
-                         "tunnel stall and runs before the quality trend)")
+                    default="epoch,pallas,streaming,me2,capacity,"
+                            "halfphone,multivoice,toy,48k,quality",
+                    help="comma list: epoch,pallas,streaming,me2,capacity,"
+                         "halfphone,multivoice,toy,48k,quality (ordered by "
+                         "importance: the headline config + its fidelity "
+                         "gates run first so a budget/timeout cut loses only "
+                         "tail configs; me2 and the 8.4M-unit capacity demo "
+                         "are the round-5 flagship blocks and outrank the "
+                         "small-config garnish)")
     ap.add_argument("--units", type=int, default=1_048_576)
     ap.add_argument("--cap-units", type=int, default=8_388_608,
                     help="capacity mode (--modes capacity, NOT default): "
@@ -1780,6 +1792,16 @@ def main(argv=None) -> int:
         # adds ~2-5 min once per voice build)
         reserve = 260.0 if me2_cached else (480.0 if derivable else 900.0)
         run_one("me2", run_me2_mode, reserve=reserve)
+    if "capacity" in modes:
+        # round-5 flagship: the measured 8.4M-unit single-chip datapoint.
+        # With the bench1m voice cached, --cap-tile replicates it in host
+        # memory (~40 s) + one ~5 GB upload + 2 compiles ≈ 300 s measured;
+        # without the cache it is a ~1 h corpus build — only worth a
+        # reserve that will realistically fit.
+        tiled_ready = (args.cap_tile > 1 and os.path.isdir(
+            os.path.join(cache_dir(), "bench1m.voicedb")))
+        run_one("capacity", run_capacity_mode,
+                reserve=350.0 if tiled_ready else 3600.0)
     for name, fn, reserve in (("halfphone", run_halfphone_mode, 60.0),
                               ("multivoice", run_multivoice_mode, 120.0),
                               ("toy", run_toy_mode, 90.0),
@@ -1788,9 +1810,6 @@ def main(argv=None) -> int:
             run_one(name, fn, reserve=reserve)
     if "quality" in modes:
         run_one("quality", run_quality_mode, synth, reserve=120.0)
-    if "capacity" in modes:
-        # opt-in only (~1 h host corpus build on first run, ~5 GB upload)
-        run_one("capacity", run_capacity_mode, reserve=600.0)
 
     extra["bench_elapsed_sec"] = round(elapsed(), 1)
     emit_final()

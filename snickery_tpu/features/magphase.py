@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from snickery_tpu.features.dft import irdft, rdft
 from snickery_tpu.features.mel import mel_filterbank
 
 
@@ -101,16 +102,21 @@ def magphase_analysis_frames(
         jnp.pad(frames, ((0, 0), ((n_fft - frame_max) // 2, (n_fft - frame_max) // 2))),
         axes=-1,
     )
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)                  # (E, n_bins)
-    magnitude = jnp.abs(spec)
+    # MXU DFT matmul, NOT jnp.fft.rfft: the FFT HLO's first execution pays
+    # a ~313 s server-side plan compile per shape on this runtime (see
+    # features/dft.py) while the matmul compiles+runs in seconds.
+    spec_re, spec_im = rdft(frames, n_fft)                         # (E, n_bins)
+    magnitude = jnp.sqrt(spec_re * spec_re + spec_im * spec_im)
     n_bins = n_fft // 2 + 1
     warp_mag = jnp.asarray(_warp_matrix(n_bins, n_mag, sample_rate))
     warp_ph = jnp.asarray(_warp_matrix(n_bins, n_phase, sample_rate))
     mag = jnp.log(jnp.maximum(
         jnp.dot(magnitude, warp_mag, preferred_element_type=jnp.float32), 1e-8))
-    unit = spec / jnp.maximum(magnitude, 1e-8)
-    real = jnp.dot(jnp.real(unit), warp_ph, preferred_element_type=jnp.float32)
-    imag = jnp.dot(jnp.imag(unit), warp_ph, preferred_element_type=jnp.float32)
+    inv_mag = 1.0 / jnp.maximum(magnitude, 1e-8)
+    real = jnp.dot(spec_re * inv_mag, warp_ph,
+                   preferred_element_type=jnp.float32)
+    imag = jnp.dot(spec_im * inv_mag, warp_ph,
+                   preferred_element_type=jnp.float32)
     return {"mag": mag, "real": real, "imag": imag}
 
 
@@ -186,8 +192,10 @@ def magphase_synthesis_frames(
     re = jnp.dot(real, unwarp_ph, preferred_element_type=jnp.float32)
     im = jnp.dot(imag, unwarp_ph, preferred_element_type=jnp.float32)
     norm = jnp.sqrt(jnp.maximum(re * re + im * im, 1e-8))
-    spec = magnitude * (re + 1j * im) / norm
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)                 # (E, n_fft)
+    scale = magnitude / norm
+    # MXU inverse DFT, NOT jnp.fft.irfft (same first-execution pathology as
+    # the forward FFT — see features/dft.py)
+    frames = irdft(re * scale, im * scale, n_fft)                  # (E, n_fft)
     frames = jnp.fft.fftshift(frames, axes=-1)[:, n_fft // 2 - frame_max // 2:
                                                n_fft // 2 + frame_max // 2]
     e = epochs.astype(jnp.int32)

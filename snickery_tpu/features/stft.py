@@ -1,8 +1,10 @@
 """Fixed-rate framing and STFT as batched XLA ops.
 
 Design notes (TPU-first): framing is a gather with a static (n_frames,
-frame_len) index matrix — XLA lowers it to efficient dynamic-slices; the FFT
-uses XLA's native FFT HLO. Everything is static-shape and jit/vmap friendly.
+frame_len) index matrix — XLA lowers it to efficient dynamic-slices; the
+transform is an MXU DFT matmul (features/dft.py — XLA's FFT HLO pays a
+~5 min server-side plan compile per shape on this runtime). Everything is
+static-shape and jit/vmap friendly.
 """
 
 from __future__ import annotations
@@ -12,6 +14,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from snickery_tpu.features.dft import irdft, rdft
 
 
 def hann(length: int, dtype=jnp.float32) -> jax.Array:
@@ -57,7 +61,10 @@ def stft(wave: jax.Array, frame_len: int, hop: int, n_fft: int | None = None) ->
     """
     n_fft = n_fft or frame_len
     frames = frame_signal(wave, frame_len, hop) * hann(frame_len, wave.dtype)
-    return jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    # MXU DFT matmul, not jnp.fft.rfft: the FFT HLO's first execution pays a
+    # ~5 min server-side plan compile per shape on this runtime (dft.py)
+    re, im = rdft(frames, n_fft)
+    return re + 1j * im
 
 
 @functools.partial(jax.jit, static_argnames=("frame_len", "hop", "n_fft"))
@@ -74,7 +81,7 @@ def stft_mag(wave: jax.Array, frame_len: int, hop: int,
 @functools.partial(jax.jit, static_argnames=("frame_len", "hop", "n_samples"))
 def istft(spec: jax.Array, frame_len: int, hop: int, n_samples: int) -> jax.Array:
     """Inverse STFT with Hann-squared COLA normalisation -> (n_samples,)."""
-    frames = jnp.fft.irfft(spec, n=frame_len, axis=-1)
+    frames = irdft(jnp.real(spec), jnp.imag(spec), frame_len)
     win = hann(frame_len, frames.dtype)
     frames = frames * win
     n_frames = frames.shape[0]
