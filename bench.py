@@ -280,6 +280,38 @@ def over_budget(reserve: float = 0.0) -> bool:
     return bool(b) and elapsed() + reserve > b
 
 
+def device_bytes_in_use():
+    """(gigabytes, source) of device-resident memory, best effort.
+
+    ``Device.memory_stats()`` returns None on the axon platform (no
+    exception), so fall back to summing the nbytes of live committed
+    arrays on the device — that measures OUR resident allocations
+    (DB blocks, waves, target buffers) but not XLA scratch, which is
+    exactly the quantity the capacity budget decision needs.  Returns
+    (None, "unavailable") only if both probes fail.
+    """
+    import jax
+
+    dev = jax.local_devices()[0]
+    try:
+        ms = dev.memory_stats()
+    except Exception:
+        ms = None
+    if ms and ms.get("bytes_in_use"):
+        return ms["bytes_in_use"] / 2**30, "memory_stats"
+    try:
+        total = 0
+        for a in jax.live_arrays():
+            try:
+                if not a.is_deleted() and dev in a.devices():
+                    total += a.nbytes
+            except Exception:
+                continue
+        return total / 2**30, "live_arrays"
+    except Exception:
+        return None, "unavailable"
+
+
 def cache_dir() -> str:
     d = os.environ.get(
         "SNICKERY_BENCH_CACHE",
@@ -1107,11 +1139,8 @@ def run_capacity_mode(args, extra: dict):
     # (~2-3 GiB) when capacity starts — count live bytes_in_use toward the
     # budget, not just this mode's own arrays (round-5: capacity joined the
     # default schedule, so the single-mode assumption no longer holds).
-    try:
-        used_gib = jax.local_devices()[0].memory_stats().get(
-            "bytes_in_use", 0) / 2**30
-    except Exception:
-        used_gib = 0.0
+    used_gib, _ = device_bytes_in_use()
+    used_gib = used_gib or 0.0
     if used_gib + raw_gib + waves_gib > 12.0:
         cfg = _dc.replace(cfg, preload_all_waves=False)
         log(f"capacity: est. raw {raw_gib:.1f} + waves {waves_gib:.1f} "
@@ -1122,12 +1151,9 @@ def run_capacity_mode(args, extra: dict):
     synth.ensure_sharded()
     log(f"capacity: device DB prepared in {time.time()-t0:.0f}s "
         f"({synth.n_units_padded} padded units)")
-    try:
-        ms = jax.local_devices()[0].memory_stats()
-        hbm_gb = ms.get("bytes_in_use", 0) / 2**30
-        log(f"capacity: device bytes_in_use {hbm_gb:.2f} GB")
-    except Exception:
-        hbm_gb = None
+    hbm_gb, hbm_src = device_bytes_in_use()
+    if hbm_gb is not None:
+        log(f"capacity: device bytes_in_use {hbm_gb:.2f} GB ({hbm_src})")
 
     B = 8
     tgt_feats, _, _ = held_out_features(B, 128, seed0=97_000)
@@ -1185,7 +1211,7 @@ def run_capacity_mode(args, extra: dict):
     extra["capacity"] = {
         "rtf": rtf, "ms_per_step": wall * 1e3, "n_units": db.n_units,
         "precision": "split3_zero_transient", "batch": B,
-        "hbm_bytes_in_use_gb": hbm_gb,
+        "hbm_bytes_in_use_gb": hbm_gb, "hbm_source": hbm_src,
         "agreement_split3_vs_highest": raw,
         "agreement_tie_adjusted": adj,
         "inventory": (f"tiled_bench1m_x{args.cap_tile}" if args.cap_tile > 1

@@ -214,3 +214,15 @@ def test_merge_never_inherits_per_run_kill_flags(monkeypatch, tmp_path):
     assert "killed_by_watchdog" not in rec["extra"]
     assert rec["extra"]["bench_elapsed_sec"] == 250.0
     assert rec["extra"]["config3"]["rtf"] == 0.0016
+
+
+def test_device_bytes_in_use_live_arrays_fallback():
+    # axon's Device.memory_stats() returns None (not an exception); the
+    # helper must fall back to summing live committed arrays so the
+    # capacity mode records a measured HBM number instead of null.
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 1024), jnp.float32)  # 1 MiB resident
+    gb, src = bench.device_bytes_in_use()
+    assert gb is not None and gb >= x.nbytes / 2**30
+    assert src in ("memory_stats", "live_arrays")
