@@ -301,10 +301,23 @@ def device_bytes_in_use():
         return ms["bytes_in_use"] / 2**30, "memory_stats"
     try:
         total = 0
+        seen = set()
         for a in jax.live_arrays():
             try:
-                if not a.is_deleted() and dev in a.devices():
-                    total += a.nbytes
+                if a.is_deleted() or dev not in a.devices():
+                    continue
+                # aliased handles (e.g. the sharded voice aliasing the
+                # DeviceDB block) share one buffer: dedupe by device
+                # pointer or the measurement double-counts multi-GiB
+                # blocks (observed 22.9 "GB" on a 16 GiB chip)
+                try:
+                    key = a.unsafe_buffer_pointer()
+                except Exception:
+                    key = id(a)
+                if key in seen:
+                    continue
+                seen.add(key)
+                total += a.nbytes
             except Exception:
                 continue
         return total / 2**30, "live_arrays"
@@ -1103,9 +1116,14 @@ def run_capacity_mode(args, extra: dict):
 
     # int16 waves halve the one replicated device array (~96 dB SNR at the
     # corpus peak); capacity mode is gated on unit agreement, not audio, and
-    # config #3 keeps the float32 default for the headline numbers
+    # config #3 keeps the float32 default for the headline numbers.
+    # raw_block_layout is FORCED colmajor (not left to "auto"): at capacity
+    # scale the compact layout is the difference between fitting and a
+    # 1.7x lane-padded block (the x16 attempt at 2026-08-20 23:14 OOMed in
+    # the fill compile with a row-major 16 GiB buffer), and forcing it here
+    # removes the auto-decision from the failure surface entirely.
     cfg = bench_config(voice_name="bench8m", preselect_precision="split3",
-                       waves_dtype="int16")
+                       waves_dtype="int16", raw_block_layout="colmajor")
 
     if args.cap_tile > 1:
         # fast path: replicate the cached 1M bench voice in memory
@@ -1146,6 +1164,40 @@ def run_capacity_mode(args, extra: dict):
         log(f"capacity: est. raw {raw_gib:.1f} + waves {waves_gib:.1f} "
             f"+ resident {used_gib:.1f} GiB > 12 GiB -> "
             "preload_all_waves=False (host OLA)")
+    # Preflight: the COMPACT (colmajor) raw block is mp x (d+2 sublane-
+    # padded to 8) f32.  If even that cannot coexist with what is already
+    # resident, fail with a one-line message instead of a 15-minute upload
+    # that dies inside the AOT compile helper (HTTP 500) — the driver's
+    # budget is the scarce resource here.
+    d_pad = -(-(db.target_dim + 2) // 8) * 8
+    raw_compact_gib = db.n_units * d_pad * 4 / 2**30
+    # Hard per-ARRAY wall, measured 2026-08-21 (x16 attempt): once the raw
+    # block crosses 2^31 ELEMENTS (~14M units at d=151), the jit layout
+    # request on the fill executable silently degrades to the default
+    # row-major tiled layout (1.7x lane padding -> 16 GiB -> AOT space
+    # check rejects).  Below 2^31 the colmajor pin is honoured (measured
+    # at 8.4M and 13.6M units).  Beyond this, capacity scales by sharding
+    # the DB axis across chips (parallel/sharded.py), not by one array.
+    n_elems = db.n_units * (db.target_dim + 2)
+    if n_elems >= 2**31:
+        raise RuntimeError(
+            f"capacity preflight: raw block would have {n_elems:.3g} "
+            ">= 2^31 elements — the device layout pin is not honoured "
+            "above int32 element count (measured: silent row-major "
+            "fallback, then OOM); use a smaller --cap-tile or shard "
+            "across chips")
+    budget_gib = 14.5 - used_gib
+    if not cfg.preload_all_waves:
+        waves_gib = 0.0
+    if raw_compact_gib + waves_gib > budget_gib:
+        raise RuntimeError(
+            f"capacity preflight: compact raw block {raw_compact_gib:.1f} "
+            f"GiB + waves {waves_gib:.1f} GiB exceeds ~{budget_gib:.1f} GiB "
+            f"free HBM ({used_gib:.1f} GiB already resident) — reduce "
+            "--cap-tile")
+    log(f"capacity: preflight ok — compact raw {raw_compact_gib:.1f} GiB "
+        f"+ waves {waves_gib:.1f} GiB into ~{budget_gib:.1f} GiB free, "
+        f"layout={cfg.raw_block_layout}")
     t0 = time.time()
     synth = Synthesiser(cfg, db=db)
     synth.ensure_sharded()
